@@ -1,0 +1,299 @@
+"""Electron generation, diffusion transport and (pad, tb) merging.
+
+TPU-native replacement for the reference's numba transport kernels
+(/root/reference/src/attpc_engine/detector/transporter.py:124-318) and the
+numba-Dict accumulation (simulator.py:93-104). The reference iterates
+trajectory points in Python/numba, depositing each point's electrons onto a
+10x10 Gaussian mesh and accumulating charge in a hash map keyed by
+Szudzik(tb, pad). Here the whole batch is processed as array programs:
+
+1. ``generate_electrons`` — Fano-smeared electron counts per deposit point
+   (reference solver.py:308-347) as one vectorized normal draw,
+2. per-event compaction of valid deposit points to a fixed capacity,
+3. mesh expansion: every point emits a 10x10 pixel block; pad ids come from
+   one gather into the 5600x5600 lookup grid; the beam-pad veto is a LUT
+   gather (vs the reference's 122-element linear scan per pixel),
+4. a stable per-event sort over packed (pad, tb) keys + segment reduction
+   merges duplicates: charge is summed, the label is the last writer in
+   deposition order — exactly the reference's dict-overwrite semantics
+   (transporter.py:169,249),
+5. the per-point TB wiggle U[0,1) and the 0 <= tb < 512 bound
+   (simulator.py:108-113) are applied to the merged cloud.
+
+Differences from the reference, documented per SURVEY.md hard-part 5:
+- (a) positions are floored to whole mm before pad lookup (quirk kept), but
+  the reference's f64 division artifact that sometimes lands one 0.1 mm bin
+  lower is not reproduced (we compute the bin index by rounding),
+- per-pixel charges are accumulated in f32 without the reference's
+  per-pixel int() truncation (sub-ppm effect at MPGD gains),
+- out-of-window tbs are dropped at deposit time (provably identical to the
+  reference's post-hoc mask).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["generate_electrons", "deposit_and_merge", "MESH_STEPS", "KEY_SENTINEL"]
+
+MESH_STEPS = 10  # reference transporter.py:8
+NUM_TB = 512
+KEY_SENTINEL = jnp.int32(2**31 - 1)
+
+
+def generate_electrons(
+    key: jax.Array,
+    dke: jax.Array,
+    w_value: float,
+    fano_factor: float,
+) -> jax.Array:
+    """Electrons created per deposit point (reference solver.py:331-347).
+
+    n = |dKE| * 1e6 / w, Fano-smeared with sigma = sqrt(fano * n), truncated
+    to integers (toward zero, as numpy's int cast does).
+    """
+    n_mean = dke * (1.0e6 / w_value)
+    sigma = jnp.sqrt(fano_factor * n_mean)
+    n = n_mean + sigma * jax.random.normal(key, dke.shape, dtype=jnp.float32)
+    return n.astype(jnp.int32)
+
+
+def _pad_lookup(
+    grid_flat: jax.Array,
+    grid_n: int,
+    edges: jax.Array,
+    x_m: jax.Array,
+    y_m: jax.Array,
+) -> jax.Array:
+    """Pad id at (x, y) in meters; -1 if outside the plane.
+
+    Keeps the reference's whole-mm floor quirk (transporter.py:101-120):
+    coordinates are floored to integer mm before the 0.1 mm binning.
+    """
+    x_mm = jnp.floor(x_m * 1000.0)
+    y_mm = jnp.floor(y_m * 1000.0)
+    low, high, binsize = edges[0], edges[1], edges[2]
+    inb = (x_mm >= low) & (x_mm < high) & (y_mm >= low) & (y_mm < high)
+    ix = jnp.round((x_mm - low) / binsize).astype(jnp.int32)
+    iy = jnp.round((y_mm - low) / binsize).astype(jnp.int32)
+    ix = jnp.clip(ix, 0, grid_n - 1)
+    iy = jnp.clip(iy, 0, grid_n - 1)
+    pad = grid_flat[ix * grid_n + iy].astype(jnp.int32)
+    return jnp.where(inb, pad, -1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_events", "tracks_per_event", "point_cap", "cloud_cap"),
+)
+def deposit_and_merge(
+    key: jax.Array,
+    positions: jax.Array,
+    electrons: jax.Array,
+    valid: jax.Array,
+    track_labels: jax.Array,
+    grid: jax.Array,
+    edges: jax.Array,
+    beam_mask: jax.Array,
+    diffusion: float,
+    efield: float,
+    drift_velocity: float,
+    micromegas_edge: float,
+    length: float,
+    mpgd_gain: float,
+    n_events: int,
+    tracks_per_event: int,
+    point_cap: int = 4096,
+    cloud_cap: int = 4096,
+):
+    """Transport deposits to the pad plane and merge to unique (pad, tb).
+
+    Parameters
+    ----------
+    key: PRNG key (TB wiggle).
+    positions: [T, B, 3] f32 — deposit positions (m), B = n_events * K.
+        Track layout must be event-major: track b belongs to event b // K,
+        nucleus slot b % K (this reproduces the reference's nucleus-outer,
+        time-inner deposition order for label semantics).
+    electrons: [T, B] int32 — electrons per point (pre-gain).
+    valid: [T, B] bool — real deposit points.
+    track_labels: [B] int32 — nucleus index written to the labels output.
+    grid: [N, N] int16 pad lookup grid; edges: [3] f32; beam_mask: [P] bool.
+    diffusion, efield, drift_velocity, micromegas_edge, length, mpgd_gain:
+        physics scalars (reference meanings).
+    point_cap: max deposit points kept per event (overflow counted).
+    cloud_cap: max unique (pad, tb) points per event (overflow counted).
+
+    Returns
+    -------
+    dict with per-event fixed-capacity cloud arrays:
+        pads [E, C] i32, tbs [E, C] f32 (wiggled), charges [E, C] f32
+        (gain applied), labels [E, C] i32, cloud_valid [E, C] bool,
+        n_points [E] i32, point_overflow [E] i32, cloud_overflow [E] i32.
+    """
+    t_steps, b = electrons.shape
+    k_tracks = tracks_per_event
+    e = n_events
+    grid_n = grid.shape[0]
+    grid_flat = grid.reshape(-1)
+    f32 = jnp.float32
+
+    # electrons >= 1 is part of validity (reference solver.py:387-389)
+    valid = valid & (electrons >= 1)
+
+    # z -> float TB (reference solver.py:394-398)
+    tb_f = (length - positions[:, :, 2]) / drift_velocity + micromegas_edge
+    tb_i = tb_f.astype(jnp.int32)  # trunc toward zero
+    # tb_f in (-1, 0) truncates to tb 0 and survives the reference's final
+    # 0 <= tb mask after the wiggle, so the keep-condition is tb_f > -1
+    valid = valid & (tb_f > -1.0) & (tb_i < NUM_TB)
+
+    # --- per-event compaction to point_cap ----------------------------- #
+    # [T, B] -> [E, K*T] in (nucleus, time) order
+    def to_event_major(a):
+        # [T, B] -> [B, T] -> [E, K, T] -> [E, K*T]
+        return a.transpose(1, 0).reshape(e, k_tracks * t_steps)
+
+    valid_ev = to_event_major(valid)
+    x_ev = to_event_major(positions[:, :, 0])
+    y_ev = to_event_major(positions[:, :, 1])
+    tbf_ev = to_event_major(tb_f)
+    tbi_ev = to_event_major(tb_i)
+    ne_ev = to_event_major(electrons)
+    label_ev = jnp.broadcast_to(
+        track_labels.reshape(e, k_tracks, 1), (e, k_tracks, t_steps)
+    ).reshape(e, k_tracks * t_steps)
+
+    n_points = valid_ev.sum(axis=1).astype(jnp.int32)
+    point_overflow = jnp.maximum(n_points - point_cap, 0)
+
+    def compact(v):
+        (idx,) = jnp.nonzero(v, size=point_cap, fill_value=v.shape[0] - 1)
+        taken = jnp.arange(point_cap) < v.sum()
+        return idx, taken
+
+    idx, taken = jax.vmap(compact)(valid_ev)  # [E, P], [E, P]
+    gather = lambda a: jnp.take_along_axis(a, idx, axis=1)
+    px = gather(x_ev)
+    py = gather(y_ev)
+    ptbf = gather(tbf_ev)
+    ptbi = gather(tbi_ev)
+    pne = gather(ne_ev).astype(f32) * f32(mpgd_gain)
+    plabel = gather(label_ev)
+
+    # --- diffusion mesh expansion -------------------------------------- #
+    # sigma_t = sqrt(2 D dv t / E), t in (float) TBs (transporter.py:301)
+    sigma = jnp.sqrt(2.0 * diffusion * drift_velocity * ptbf / efield).astype(f32)
+    has_diff = sigma > 0.0
+    sigma_safe = jnp.where(has_diff, sigma, 1.0)
+
+    # 10x10 mesh offsets in units of sigma: -3s .. +3s inclusive
+    mesh_1d = jnp.linspace(-3.0, 3.0, MESH_STEPS, dtype=f32)
+    off_x = mesh_1d[:, None]  # [10, 1]
+    off_y = mesh_1d[None, :]  # [1, 10]
+    step = 6.0 / (MESH_STEPS - 1)  # in sigma units
+
+    # pixel positions [E, P, 10, 10]
+    pix_x = px[..., None, None] + sigma_safe[..., None, None] * off_x
+    pix_y = py[..., None, None] + sigma_safe[..., None, None] * off_y
+    # bivariate normal pdf * pixel area (areas in m^2; sigma^2 cancels)
+    pdf_area = (
+        (step * step / (2.0 * jnp.pi))
+        * jnp.exp(-0.5 * (off_x**2 + off_y**2))
+    )  # [10, 10], independent of sigma
+    q_pix = pne[..., None, None] * pdf_area
+    # sigma == 0 (diffusion disabled) -> point transport: all electrons on
+    # the point itself through pixel slot (0, 0) (reference
+    # transporter.py:124-169)
+    q_point = jnp.zeros((MESH_STEPS, MESH_STEPS), dtype=f32).at[0, 0].set(1.0)
+    q_pix = jnp.where(
+        has_diff[..., None, None], q_pix, pne[..., None, None] * q_point
+    )
+    pix_x = jnp.where(has_diff[..., None, None], pix_x, px[..., None, None])
+    pix_y = jnp.where(has_diff[..., None, None], pix_y, py[..., None, None])
+
+    pad = _pad_lookup(grid_flat, grid_n, edges, pix_x, pix_y)  # [E, P, 10, 10]
+    not_beam = ~beam_mask[jnp.clip(pad, 0, beam_mask.shape[0] - 1)]
+    pix_valid = (pad >= 0) & not_beam & taken[..., None, None]
+
+    m = point_cap * MESH_STEPS * MESH_STEPS
+    keys_flat = jnp.where(
+        pix_valid,
+        pad * NUM_TB + ptbi[..., None, None],
+        KEY_SENTINEL,
+    ).reshape(e, m)
+    q_flat = jnp.where(pix_valid, q_pix, 0.0).reshape(e, m)
+    label_flat = jnp.broadcast_to(
+        plabel[..., None, None], pix_valid.shape
+    ).reshape(e, m)
+
+    # --- stable sort + segment merge per event ------------------------- #
+    keys_s, q_s, label_s = jax.lax.sort(
+        (keys_flat, q_flat, label_flat), dimension=1, is_stable=True, num_keys=1
+    )
+    boundary = jnp.concatenate(
+        [
+            jnp.ones((e, 1), dtype=bool),
+            keys_s[:, 1:] != keys_s[:, :-1],
+        ],
+        axis=1,
+    )
+    # don't count the sentinel run as a segment (sentinels sort to the end)
+    real = keys_s != KEY_SENTINEL
+    boundary = boundary & real
+    seg = jnp.cumsum(boundary, axis=1) - 1
+    n_unique = boundary.sum(axis=1).astype(jnp.int32)
+    cloud_overflow = jnp.maximum(n_unique - cloud_cap, 0)
+    seg_c = jnp.clip(seg, 0, cloud_cap - 1)
+    seg_c = jnp.where(real, seg_c, cloud_cap - 1)  # dump sentinels on last slot
+
+    arange_m = jnp.arange(m, dtype=jnp.int32)
+
+    def merge_event(seg_e, real_e, keys_e, q_e, label_e):
+        charges = jnp.zeros(cloud_cap, dtype=f32).at[seg_e].add(
+            jnp.where(real_e, q_e, 0.0), indices_are_sorted=True
+        )
+        key_out = (
+            jnp.full(cloud_cap, KEY_SENTINEL, dtype=jnp.int32)
+            .at[seg_e]
+            .min(jnp.where(real_e, keys_e, KEY_SENTINEL), indices_are_sorted=True)
+        )
+        last_idx = (
+            jnp.zeros(cloud_cap, dtype=jnp.int32)
+            .at[seg_e]
+            .max(jnp.where(real_e, arange_m, 0), indices_are_sorted=True)
+        )
+        label_out = label_e[last_idx]
+        return charges, key_out, label_out
+
+    charges, key_out, label_out = jax.vmap(merge_event)(
+        seg_c, real, keys_s, q_s, label_s
+    )
+
+    cloud_valid = key_out != KEY_SENTINEL
+    # on overflow the segments beyond the cap were clipped into the last
+    # slot, corrupting it — invalidate it in that case
+    cloud_valid = cloud_valid.at[:, cloud_cap - 1].set(
+        cloud_valid[:, cloud_cap - 1] & (n_unique <= cloud_cap)
+    )
+
+    pads_out = jnp.where(cloud_valid, key_out // NUM_TB, -1)
+    tbs_int = jnp.where(cloud_valid, key_out % NUM_TB, 0)
+
+    # TB wiggle U[0, 1) (simulator.py:108)
+    wiggle = jax.random.uniform(key, tbs_int.shape, dtype=f32)
+    tbs_out = tbs_int.astype(f32) + wiggle
+
+    return {
+        "pads": pads_out,
+        "tbs": tbs_out,
+        "charges": jnp.where(cloud_valid, charges, 0.0),
+        "labels": jnp.where(cloud_valid, label_out, -1),
+        "cloud_valid": cloud_valid,
+        "n_points": n_points,
+        "point_overflow": point_overflow,
+        "cloud_overflow": cloud_overflow,
+    }

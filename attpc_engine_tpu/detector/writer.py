@@ -1,0 +1,173 @@
+"""Point-cloud output writers.
+
+Covers the reference's ``detector/writer.py``
+(/root/reference/src/attpc_engine/detector/writer.py:12-281): the
+``SimulationWriter`` protocol and a ``SpyralWriter`` producing
+Spyral-analysis-compatible HDF5 files. Output format parity (the downstream
+contract):
+
+- files ``run_XXXX.h5`` with at most ``max_events_per_file`` events each,
+- per event: ``/cloud/cloud_{n}`` float64 [N, 8] = [pad_x_mm, pad_y_mm,
+  z_mm, amplitude, integral, pad_id, tb_float, pad_size], z-ascending,
+  ADC-thresholded; attrs orig_run, orig_event, ic_* = -1.0,
+- ``/cloud/labels_{n}`` int64 [N]; group attrs min_event/max_event,
+- empty events are skipped (event numbers may gap).
+
+The batched path (``write_spyral_batch``) receives device-converted batches
+from the simulator; the scalar ``write`` keeps the reference protocol for
+custom flows.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Protocol
+
+import h5py as h5
+import numpy as np
+
+from .parameters import Config
+from .response import get_response, apply_response
+
+__all__ = ["SimulationWriter", "SpyralWriter", "convert_to_spyral"]
+
+
+class SimulationWriter(Protocol):
+    """Protocol for simulation writers (reference writer.py:12-58)."""
+
+    def write(
+        self, data: np.ndarray, labels: np.ndarray, config: Config, event_number: int
+    ) -> None: ...
+
+    def get_directory_name(self) -> Path: ...
+
+    def close(self) -> None: ...
+
+
+def convert_to_spyral(
+    points: np.ndarray,
+    window_edge: int,
+    mm_edge: int,
+    length: float,
+    response: np.ndarray,
+    pad_centers: np.ndarray,
+    pad_sizes: np.ndarray,
+) -> np.ndarray:
+    """Host-side Spyral conversion of a raw [N, 3] = [pad, tb, electrons]
+    cloud (reference writer.py:61-112), vectorized with numpy.
+    """
+    pads = points[:, 0].astype(np.int64)
+    tbs = points[:, 1]
+    electrons = points[:, 2]
+    storage = np.empty((len(points), 8))
+    sig = np.minimum(response[None, :] * electrons[:, None], 4095.0)
+    storage[:, 0] = pad_centers[pads, 0]
+    storage[:, 1] = pad_centers[pads, 1]
+    storage[:, 2] = (window_edge - tbs) / (window_edge - mm_edge) * length * 1000.0
+    storage[:, 3] = sig.max(axis=1)
+    storage[:, 4] = sig.sum(axis=1)
+    storage[:, 5] = pads
+    storage[:, 6] = tbs
+    storage[:, 7] = pad_sizes[pads]
+    return storage
+
+
+class SpyralWriter:
+    """Writer for default Spyral analysis (multi-file HDF5 point clouds).
+
+    Parameters mirror the reference (writer.py:164-181): output directory,
+    config, ``max_events_per_file`` (default 5000) and ``first_run_number``.
+    """
+
+    def __init__(
+        self,
+        directory_path: Path | str,
+        config: Config,
+        max_events_per_file: int = 5_000,
+        first_run_number: int = 0,
+    ):
+        self.directory_path = Path(directory_path)
+        self.config = config
+        self.response: np.ndarray = get_response(config).copy()
+        self.max_events_per_file = max_events_per_file
+        self.run_number = first_run_number
+        self.starting_event = 0
+        self.last_event = 0
+        self.events_written = 0
+        path = self.directory_path / f"run_{self.run_number:04d}.h5"
+        self.file = h5.File(path, "w")
+        self.cloud_group: h5.Group = self.file.create_group("cloud")
+
+    def create_next_file(self) -> None:
+        self.run_number += 1
+        path = self.directory_path / f"run_{self.run_number:04d}.h5"
+        self.file = h5.File(path, "w")
+        self.cloud_group = self.file.create_group("cloud")
+
+    def _maybe_rotate(self, event_number: int) -> None:
+        if self.events_written == self.max_events_per_file:
+            self.close()
+            self.create_next_file()
+            self.starting_event = event_number
+            self.events_written = 0
+
+    def _write_event(
+        self, spyral: np.ndarray, labels: np.ndarray, event_number: int
+    ) -> None:
+        self._maybe_rotate(event_number)
+        dset = self.cloud_group.create_dataset(f"cloud_{event_number}", data=spyral)
+        dset.attrs["orig_run"] = self.run_number
+        dset.attrs["orig_event"] = event_number
+        dset.attrs["ic_amplitude"] = -1.0
+        dset.attrs["ic_multiplicity"] = -1.0
+        dset.attrs["ic_integral"] = -1.0
+        dset.attrs["ic_centroid"] = -1.0
+        self.cloud_group.create_dataset(f"labels_{event_number}", data=labels)
+        self.last_event = event_number
+        self.events_written += 1
+
+    def write_spyral_batch(
+        self,
+        spyral: np.ndarray,
+        labels: np.ndarray,
+        counts: np.ndarray,
+        event_numbers: np.ndarray,
+    ) -> None:
+        """Write a device-converted batch: spyral [E, C, 8] (valid rows
+        first), labels [E, C], counts [E]. Empty events are skipped."""
+        for i, event_number in enumerate(event_numbers):
+            n = int(counts[i])
+            if n == 0:
+                continue
+            self._write_event(spyral[i, :n], labels[i, :n], int(event_number))
+
+    def write(
+        self, data: np.ndarray, labels: np.ndarray, config: Config, event_number: int
+    ) -> None:
+        """Reference-protocol scalar write of a raw [N, 3] cloud
+        (writer.py:194-255): convert, threshold, z-sort, store."""
+        spyral = convert_to_spyral(
+            data,
+            config.elec_params.windows_edge,
+            config.elec_params.micromegas_edge,
+            config.det_params.length,
+            self.response,
+            config.pad_centers,
+            config.pad_sizes,
+        )
+        mask = spyral[:, 3] > config.elec_params.adc_threshold
+        spyral = spyral[mask]
+        labels = labels[mask]
+        order = np.argsort(spyral[:, 2], kind="stable")
+        self._write_event(spyral[order], labels[order], event_number)
+
+    def set_number_of_events(self) -> None:
+        self.cloud_group.attrs["min_event"] = self.starting_event
+        self.cloud_group.attrs["max_event"] = self.last_event
+
+    def get_directory_name(self) -> Path:
+        return self.directory_path
+
+    def close(self) -> None:
+        self.set_number_of_events()
+        self.file.close()

@@ -1,0 +1,161 @@
+"""End-to-end pipeline tests: kinematics generation -> HDF5 -> detector
+simulation -> Spyral cloud files, exercising both file schemas."""
+
+import h5py as h5
+import numpy as np
+
+from attpc_engine_tpu import nuclear_map
+from attpc_engine_tpu.nuclear import GasTarget
+from attpc_engine_tpu.kinematics import (
+    KinematicsPipeline,
+    KinematicsTargetMaterial,
+    ExcitationGaussian,
+    PolarUniform,
+    Reaction,
+    run_kinematics_pipeline,
+)
+from attpc_engine_tpu.io.kinematics_file import KinematicsReader
+from attpc_engine_tpu.detector import (
+    Config,
+    DetectorParams,
+    ElectronicsParams,
+    PadParams,
+    EngineParams,
+    SpyralWriter,
+    run_simulation,
+)
+
+gas = GasTarget([(1, 2, 2)], 300.0, nuclear_map)
+
+
+def _pipeline(with_target: bool = False):
+    target_material = None
+    if with_target:
+        target_material = KinematicsTargetMaterial(
+            material=gas, z_range=(0.0, 1.0), rho_sigma=0.007
+        )
+    return KinematicsPipeline(
+        [
+            Reaction(
+                target=nuclear_map.get_data(1, 2),
+                projectile=nuclear_map.get_data(6, 12),
+                ejectile=nuclear_map.get_data(1, 1),
+            )
+        ],
+        [ExcitationGaussian(0.0, 0.0)],
+        [PolarUniform(0.0, np.pi)],
+        120.0,
+        target_material=target_material,
+    )
+
+
+def _config():
+    return Config(
+        DetectorParams(
+            length=1.0,
+            efield=45000.0,
+            bfield=2.85,
+            mpgd_gain=175000,
+            gas_target=gas,
+            diffusion=0.277,
+            fano_factor=0.2,
+            w_value=34.0,
+        ),
+        ElectronicsParams(
+            clock_freq=6.25,
+            amp_gain=900,
+            shaping_time=1000,
+            micromegas_edge=10,
+            windows_edge=560,
+            adc_threshold=40,
+        ),
+        PadParams(),
+    )
+
+
+def test_kinematics_file_schemas(tmp_path):
+    pipeline = _pipeline()
+    for schema in ("columnar", "reference"):
+        path = tmp_path / f"kine_{schema}.h5"
+        run_kinematics_pipeline(
+            pipeline, 32, path, batch_size=16, seed=1, schema=schema,
+            show_progress=False,
+        )
+        reader = KinematicsReader(path)
+        assert reader.n_events == 32
+        assert list(reader.proton_numbers) == [1, 6, 1, 6]
+        assert list(reader.mass_numbers) == [2, 12, 1, 13]
+        vertices, momenta = reader.read_range(0, 32)
+        assert momenta.shape == (32, 4, 4)
+        assert np.all(momenta[:, 2, 3] > 0)
+        reader.close()
+
+    # reference schema structure is bit-compatible
+    with h5.File(tmp_path / "kine_reference.h5") as f:
+        data = f["data"]
+        assert data.attrs["n_events"] == 32
+        assert "chunk_0" in data
+        ev = data["chunk_0"]["event_5"]
+        assert ev.shape == (4, 4)
+        assert "vertex_x" in ev.attrs
+
+
+def test_kinematics_with_target_material(tmp_path):
+    """Vertex sampling + beam energy loss in the gas."""
+    pipeline = _pipeline(with_target=True)
+    import jax
+
+    vertices, momenta = pipeline.run_batch(128, key=jax.random.PRNGKey(3))
+    # vertices spread in z, rho ~ |N(0, 7mm)|
+    assert vertices[:, 2].min() > 0.0 and vertices[:, 2].max() < 1.0
+    rho = np.hypot(vertices[:, 0], vertices[:, 1])
+    assert rho.max() < 0.05
+    # beam lost energy: projectile KE at vertex below accelerator energy
+    ke_beam = momenta[:, 1, 3] - nuclear_map.get_data(6, 12).mass
+    assert np.all(ke_beam < 120.0)
+    assert np.all(ke_beam > 100.0)  # but not absurdly much at 300 Torr
+
+
+def test_full_chain(tmp_path):
+    pipeline = _pipeline()
+    kine_path = tmp_path / "kine.h5"
+    run_kinematics_pipeline(
+        pipeline, 8, kine_path, batch_size=8, seed=7, show_progress=False
+    )
+
+    config = _config()
+    outdir = tmp_path / "clouds"
+    outdir.mkdir()
+    writer = SpyralWriter(outdir, config)
+    engine = EngineParams(
+        n_time_steps=2000,
+        chunk_steps=250,
+        point_cap=2048,
+        cloud_cap=1024,
+        events_per_batch=4,
+    )
+    run_simulation(config, kine_path, writer, engine=engine, seed=11,
+                   show_progress=False)
+
+    files = sorted(outdir.glob("run_*.h5"))
+    assert len(files) == 1
+    with h5.File(files[0]) as f:
+        cloud_group = f["cloud"]
+        names = [n for n in cloud_group if n.startswith("cloud_")]
+        assert len(names) >= 1  # some events produce clouds
+        ev = names[0]
+        data = cloud_group[ev][:]
+        labels = cloud_group[ev.replace("cloud", "labels")][:]
+        assert data.shape[1] == 8
+        assert len(labels) == len(data)
+        # z sorted ascending
+        assert np.all(np.diff(data[:, 2]) >= 0)
+        # amplitudes above threshold and <= 4095
+        assert np.all(data[:, 3] > 40)
+        assert np.all(data[:, 3] <= 4095)
+        # pad ids valid, tb in window
+        assert np.all((data[:, 5] >= 0) & (data[:, 5] < 10240))
+        assert np.all((data[:, 6] >= 0) & (data[:, 6] < 512))
+        # attrs
+        assert cloud_group[ev].attrs["ic_amplitude"] == -1.0
+        assert "min_event" in cloud_group.attrs
