@@ -1,0 +1,157 @@
+"""End-to-end benchmark: full pipeline events/sec.
+
+Runs the complete two-stage simulation — batched kinematics sampling ->
+kinematics HDF5 -> detector transport/deposition -> Spyral cloud HDF5 — for
+the flagship configuration (12C(d,p) inverse kinematics at 120 MeV, default
+AT-TPC detector), and prints ONE JSON line:
+
+    {"metric": "full_pipeline_events_per_sec", "value": N,
+     "unit": "events/s", "vs_baseline": R}
+
+``vs_baseline`` is the fraction of the BASELINE.json north-star rate
+(1M full events in 60 s on one TPU v5e chip = 16,667 events/s). The
+reference engine publishes no benchmarks (BASELINE.md), so the north star is
+the comparison anchor.
+
+Env knobs: BENCH_EVENTS (default 20000), BENCH_BATCH (detector events per
+XLA execution, default 128), BENCH_OUTDIR (default a temp dir).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+NORTH_STAR_EVENTS_PER_SEC = 1_000_000 / 60.0
+
+
+def main() -> None:
+    n_events = int(os.environ.get("BENCH_EVENTS", 20_000))
+    det_batch = int(os.environ.get("BENCH_BATCH", 128))
+    outdir = os.environ.get("BENCH_OUTDIR")
+
+    import jax
+
+    from attpc_engine_tpu import nuclear_map
+    from attpc_engine_tpu.nuclear import GasTarget
+    from attpc_engine_tpu.detector import (
+        Config,
+        DetectorParams,
+        ElectronicsParams,
+        PadParams,
+        EngineParams,
+        SpyralWriter,
+        run_simulation,
+    )
+    from attpc_engine_tpu.kinematics import (
+        KinematicsPipeline,
+        ExcitationGaussian,
+        PolarUniform,
+        Reaction,
+        run_kinematics_pipeline,
+    )
+
+    gas = GasTarget([(1, 2, 2)], 300.0, nuclear_map)
+    config = Config(
+        DetectorParams(
+            length=1.0,
+            efield=45000.0,
+            bfield=2.85,
+            mpgd_gain=175000,
+            gas_target=gas,
+            diffusion=0.277,
+            fano_factor=0.2,
+            w_value=34.0,
+        ),
+        ElectronicsParams(
+            clock_freq=6.25,
+            amp_gain=900,
+            shaping_time=1000,
+            micromegas_edge=10,
+            windows_edge=560,
+            adc_threshold=40,
+        ),
+        PadParams(),
+    )
+    pipeline = KinematicsPipeline(
+        [
+            Reaction(
+                target=nuclear_map.get_data(1, 2),
+                projectile=nuclear_map.get_data(6, 12),
+                ejectile=nuclear_map.get_data(1, 1),
+            )
+        ],
+        [ExcitationGaussian(0.0, 0.0)],
+        [PolarUniform(0.0, np.pi)],
+        120.0,
+    )
+    engine = EngineParams(events_per_batch=det_batch)
+
+    tmp_ctx = None
+    if outdir is None:
+        tmp_ctx = tempfile.TemporaryDirectory()
+        outdir = tmp_ctx.name
+    outdir = Path(outdir)
+    kine_path = outdir / "bench_kinematics.h5"
+    cloud_dir = outdir / "clouds"
+    cloud_dir.mkdir(exist_ok=True)
+
+    # ---- warmup / compile (excluded from the timed run) ---------------- #
+    t0 = time.perf_counter()
+    kine_batch = min(65536, n_events)
+    pipeline.run_batch(kine_batch, key=jax.random.PRNGKey(0))
+    warm_path = outdir / "warm.h5"
+    run_kinematics_pipeline(
+        pipeline, det_batch, warm_path, batch_size=kine_batch, seed=0,
+        show_progress=False,
+    )
+    writer = SpyralWriter(cloud_dir, config)
+    run_simulation(config, warm_path, writer, engine=engine, seed=0,
+                   show_progress=False)
+    compile_s = time.perf_counter() - t0
+    print(f"[bench] warmup/compile: {compile_s:.1f}s", file=sys.stderr)
+
+    # ---- timed end-to-end run ------------------------------------------ #
+    t1 = time.perf_counter()
+    run_kinematics_pipeline(
+        pipeline, n_events, kine_path, batch_size=kine_batch, seed=1,
+        show_progress=False,
+    )
+    t2 = time.perf_counter()
+    writer = SpyralWriter(cloud_dir, config, first_run_number=100)
+    run_simulation(config, kine_path, writer, engine=engine, seed=1,
+                   show_progress=False)
+    t3 = time.perf_counter()
+
+    kine_s = t2 - t1
+    det_s = t3 - t2
+    total_s = t3 - t1
+    eps = n_events / total_s
+    print(
+        f"[bench] {n_events} events: kinematics {kine_s:.2f}s "
+        f"({n_events / kine_s:.0f} ev/s), detector+write {det_s:.2f}s "
+        f"({n_events / det_s:.0f} ev/s), total {total_s:.2f}s",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "full_pipeline_events_per_sec",
+                "value": round(eps, 1),
+                "unit": "events/s",
+                "vs_baseline": round(eps / NORTH_STAR_EVENTS_PER_SEC, 4),
+            }
+        )
+    )
+    if tmp_ctx is not None:
+        tmp_ctx.cleanup()
+
+
+if __name__ == "__main__":
+    main()
