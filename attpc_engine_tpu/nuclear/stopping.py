@@ -102,6 +102,10 @@ def mass_stopping_power(
 ) -> np.ndarray:
     """Mass stopping power (MeV cm^2/g) with low-energy continuation.
 
+    Uses the native C++ generator (attpc_engine_tpu.native) when available —
+    the slot pycatima fills in the reference's stack — falling back to the
+    pure-numpy implementation below (identical physics model).
+
     Parameters
     ----------
     z_proj: int
@@ -113,6 +117,12 @@ def mass_stopping_power(
     constituents: list[(Z, A, mass_fraction)]
         Target composition by mass fraction.
     """
+    from ..native import native_mass_stopping_power
+
+    native = native_mass_stopping_power(z_proj, mass_mev, ke_mev, constituents)
+    if native is not None:
+        return native
+
     ke = np.atleast_1d(np.asarray(ke_mev, dtype=np.float64))
     z_t = np.array([c[0] for c in constituents], dtype=np.float64)
     a_t = np.array([c[1] for c in constituents], dtype=np.float64)

@@ -1,0 +1,134 @@
+"""Phase-level timing of the detector stage on the local device.
+
+Times integrate_tracks, generate_electrons+deposit_and_merge, and the
+Spyral conversion separately to locate the bottleneck. Env knobs:
+PROF_EVENTS (default 64), PROF_STEPS (default 10000), PROF_POINT_CAP,
+PROF_CLOUD_CAP.
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from __graft_entry__ import _tiny_setup
+from attpc_engine_tpu.detector.transport import integrate_tracks
+from attpc_engine_tpu.detector.deposition import deposit_and_merge, generate_electrons
+
+
+def timeit(label, fn, n=3):
+    fn()  # compile
+    t0 = time.perf_counter()
+    for _ in range(n):
+        fn()
+    dt = (time.perf_counter() - t0) / n
+    print(f"{label}: {dt * 1000:.1f} ms", flush=True)
+    return dt
+
+
+def main():
+    e = int(os.environ.get("PROF_EVENTS", 64))
+    steps = int(os.environ.get("PROF_STEPS", 10000))
+    point_cap = int(os.environ.get("PROF_POINT_CAP", 4096))
+    cloud_cap = int(os.environ.get("PROF_CLOUD_CAP", 2048))
+
+    pipeline, sim = _tiny_setup(events_per_batch=e, n_time_steps=steps)
+    sim.engine.point_cap = point_cap
+    sim.engine.cloud_cap = cloud_cap
+    cfg = sim.config
+    dev = cfg.device_arrays()
+
+    vertices, momenta = pipeline.run_batch(e, key=jax.random.PRNGKey(0))
+    p3 = momenta[:, sim.sim_indices, :3]
+    gvs = jnp.asarray(
+        (p3 / sim.track_masses[None, :, None]).astype(np.float32)
+    ).reshape(-1, 3)
+    pos0 = jnp.repeat(jnp.asarray(vertices, dtype=jnp.float32), sim.k_tracks, axis=0)
+    s_idx = jnp.tile(jnp.arange(sim.k_tracks, dtype=jnp.int32), e)
+    key = jax.random.PRNGKey(1)
+
+    b = pos0.shape[0]
+    print(f"events={e} tracks={b} steps={steps} point_cap={point_cap}")
+
+    integ = lambda: jax.block_until_ready(
+        integrate_tracks(
+            pos0, gvs, s_idx, sim.species,
+            density=cfg.det_params.gas_target.density,
+            bfield=cfg.det_params.bfield,
+            efield=cfg.det_params.efield,
+            n_steps=steps, chunk_steps=500,
+        )
+    )
+    t_int = timeit("integrate", integ)
+
+    positions, dke, alive = integrate_tracks(
+        pos0, gvs, s_idx, sim.species,
+        density=cfg.det_params.gas_target.density,
+        bfield=cfg.det_params.bfield,
+        efield=cfg.det_params.efield,
+        n_steps=steps, chunk_steps=500,
+    )
+    alive_count = int(np.asarray(alive.sum()))
+    print(f"  alive deposit points: {alive_count} "
+          f"({alive_count / b:.0f}/track avg)")
+
+    electrons = generate_electrons(
+        key, dke, cfg.det_params.w_value, cfg.det_params.fano_factor
+    )
+    labels = jnp.tile(jnp.asarray(sim.sim_indices, dtype=jnp.int32), e)
+
+    dep = lambda: jax.block_until_ready(
+        deposit_and_merge(
+            key, positions, electrons, alive, labels,
+            dev["grid"], dev["edges"], dev["beam_mask"],
+            diffusion=cfg.det_params.diffusion,
+            efield=cfg.det_params.efield,
+            drift_velocity=cfg.drift_velocity,
+            micromegas_edge=float(cfg.elec_params.micromegas_edge),
+            length=cfg.det_params.length,
+            mpgd_gain=float(cfg.det_params.mpgd_gain),
+            n_events=e, tracks_per_event=sim.k_tracks,
+            point_cap=point_cap, cloud_cap=cloud_cap,
+        )
+    )
+    t_dep = timeit("deposit+merge", dep)
+
+    cloud = deposit_and_merge(
+        key, positions, electrons, alive, labels,
+        dev["grid"], dev["edges"], dev["beam_mask"],
+        diffusion=cfg.det_params.diffusion,
+        efield=cfg.det_params.efield,
+        drift_velocity=cfg.drift_velocity,
+        micromegas_edge=float(cfg.elec_params.micromegas_edge),
+        length=cfg.det_params.length,
+        mpgd_gain=float(cfg.det_params.mpgd_gain),
+        n_events=e, tracks_per_event=sim.k_tracks,
+        point_cap=point_cap, cloud_cap=cloud_cap,
+    )
+    print(f"  n_points avg: {np.asarray(cloud['n_points']).mean():.0f}, "
+          f"point_overflow max: {np.asarray(cloud['point_overflow']).max()}, "
+          f"cloud pts avg: {np.asarray(cloud['cloud_valid'].sum(1)).mean():.0f}, "
+          f"cloud_overflow max: {np.asarray(cloud['cloud_overflow']).max()}")
+
+    conv_jit = jax.jit(sim._convert_to_spyral)
+    conv = lambda: jax.block_until_ready(conv_jit(cloud))
+    t_conv = timeit("convert", conv)
+
+    full = lambda: jax.block_until_ready(
+        sim._sim_jit(key, jnp.asarray(vertices, dtype=jnp.float32),
+                     gvs.reshape(e, sim.k_tracks, 3), e)["spyral"]
+    )
+    t_full = timeit("full fused step", full)
+
+    per_ev = t_full / e
+    print(f"per-event: {per_ev * 1000:.2f} ms -> {1 / per_ev:.0f} events/s")
+
+
+if __name__ == "__main__":
+    main()
