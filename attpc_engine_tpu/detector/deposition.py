@@ -9,14 +9,19 @@ Szudzik(tb, pad). Here the whole batch is processed as array programs:
 
 1. ``generate_electrons`` — Fano-smeared electron counts per deposit point
    (reference solver.py:308-347) as one vectorized normal draw,
-2. per-event compaction of valid deposit points to a fixed capacity,
-3. mesh expansion: every point emits a 10x10 pixel block; pad ids come from
-   one gather into the 5600x5600 lookup grid; the beam-pad veto is a LUT
-   gather (vs the reference's 122-element linear scan per pixel),
-4. a stable per-event sort over packed (pad, tb) keys + segment reduction
-   merges duplicates: charge is summed, the label is the last writer in
-   deposition order — exactly the reference's dict-overwrite semantics
-   (transporter.py:169,249),
+2. batch-level compaction: valid deposit points from ALL events in the
+   batch are gathered into one shared point pool (capacity =
+   n_events * point_budget). Track lengths vary wildly (a fast proton exits
+   in ~200 steps, a stopping residual lives thousands), so pooling wastes
+   nothing on short events while long events can borrow capacity,
+3. mesh expansion: every pooled point emits a 10x10 pixel block; pad ids
+   come from one gather into the 5600x5600 lookup grid; the beam-pad veto
+   is a LUT gather (vs the reference's 122-element linear scan per pixel),
+4. ONE stable batch-wide sort over event-packed keys
+   (event * (10240*512) + pad * 512 + tb) + a segment reduction merges
+   duplicates: charge is summed, the label is the last writer in deposition
+   order — exactly the reference's dict-overwrite semantics
+   (transporter.py:169,249). Segments scatter into per-event output slots,
 5. the per-point TB wiggle U[0,1) and the 0 <= tb < 512 bound
    (simulator.py:108-113) are applied to the merged cloud.
 
@@ -27,7 +32,9 @@ Differences from the reference, documented per SURVEY.md hard-part 5:
 - per-pixel charges are accumulated in f32 without the reference's
   per-pixel int() truncation (sub-ppm effect at MPGD gains),
 - out-of-window tbs are dropped at deposit time (provably identical to the
-  reference's post-hoc mask).
+  reference's post-hoc mask),
+- capacities are bounded: the shared point pool and the per-event cloud
+  capacity both report overflow counts instead of growing unboundedly.
 """
 
 from __future__ import annotations
@@ -41,6 +48,7 @@ __all__ = ["generate_electrons", "deposit_and_merge", "MESH_STEPS", "KEY_SENTINE
 
 MESH_STEPS = 10  # reference transporter.py:8
 NUM_TB = 512
+PAD_TB = 10240 * NUM_TB  # key stride per event
 KEY_SENTINEL = jnp.int32(2**31 - 1)
 
 
@@ -87,7 +95,7 @@ def _pad_lookup(
 
 @partial(
     jax.jit,
-    static_argnames=("n_events", "tracks_per_event", "point_cap", "cloud_cap"),
+    static_argnames=("n_events", "tracks_per_event", "point_budget", "cloud_cap"),
 )
 def deposit_and_merge(
     key: jax.Array,
@@ -106,8 +114,8 @@ def deposit_and_merge(
     mpgd_gain: float,
     n_events: int,
     tracks_per_event: int,
-    point_cap: int = 4096,
-    cloud_cap: int = 4096,
+    point_budget: int = 1024,
+    cloud_cap: int = 8192,
 ):
     """Transport deposits to the pad plane and merge to unique (pad, tb).
 
@@ -124,7 +132,9 @@ def deposit_and_merge(
     grid: [N, N] int16 pad lookup grid; edges: [3] f32; beam_mask: [P] bool.
     diffusion, efield, drift_velocity, micromegas_edge, length, mpgd_gain:
         physics scalars (reference meanings).
-    point_cap: max deposit points kept per event (overflow counted).
+    point_budget: shared point pool capacity = n_events * point_budget.
+        On pool overflow the trailing (flat-order) points are dropped and
+        counted in ``pool_overflow``.
     cloud_cap: max unique (pad, tb) points per event (overflow counted).
 
     Returns
@@ -132,14 +142,17 @@ def deposit_and_merge(
     dict with per-event fixed-capacity cloud arrays:
         pads [E, C] i32, tbs [E, C] f32 (wiggled), charges [E, C] f32
         (gain applied), labels [E, C] i32, cloud_valid [E, C] bool,
-        n_points [E] i32, point_overflow [E] i32, cloud_overflow [E] i32.
+        n_points [E] i32, pool_overflow [] i32, cloud_overflow [E] i32.
     """
     t_steps, b = electrons.shape
     k_tracks = tracks_per_event
     e = n_events
+    if e * PAD_TB >= 2**31:
+        raise ValueError("n_events per deposit batch must be <= 409 (int32 keys)")
     grid_n = grid.shape[0]
     grid_flat = grid.reshape(-1)
     f32 = jnp.float32
+    pool = e * point_budget
 
     # electrons >= 1 is part of validity (reference solver.py:387-389)
     valid = valid & (electrons >= 1)
@@ -151,40 +164,32 @@ def deposit_and_merge(
     # 0 <= tb mask after the wiggle, so the keep-condition is tb_f > -1
     valid = valid & (tb_f > -1.0) & (tb_i < NUM_TB)
 
-    # --- per-event compaction to point_cap ----------------------------- #
-    # [T, B] -> [E, K*T] in (nucleus, time) order
-    def to_event_major(a):
-        # [T, B] -> [B, T] -> [E, K, T] -> [E, K*T]
-        return a.transpose(1, 0).reshape(e, k_tracks * t_steps)
+    # --- batch-level compaction into the shared point pool --------------- #
+    # [T, B] -> [B, T] -> [E*K*T] flat in (event, nucleus, time) order
+    def to_flat(a):
+        return a.transpose(1, 0).reshape(e * k_tracks * t_steps)
 
-    valid_ev = to_event_major(valid)
-    x_ev = to_event_major(positions[:, :, 0])
-    y_ev = to_event_major(positions[:, :, 1])
-    tbf_ev = to_event_major(tb_f)
-    tbi_ev = to_event_major(tb_i)
-    ne_ev = to_event_major(electrons)
-    label_ev = jnp.broadcast_to(
-        track_labels.reshape(e, k_tracks, 1), (e, k_tracks, t_steps)
-    ).reshape(e, k_tracks * t_steps)
+    valid_f = to_flat(valid)
+    n_points = valid.transpose(1, 0).reshape(e, -1).sum(axis=1).astype(jnp.int32)
+    total_valid = valid_f.sum().astype(jnp.int32)
+    pool_overflow = jnp.maximum(total_valid - pool, 0)
 
-    n_points = valid_ev.sum(axis=1).astype(jnp.int32)
-    point_overflow = jnp.maximum(n_points - point_cap, 0)
+    (idx,) = jnp.nonzero(valid_f, size=pool, fill_value=0)
+    taken = jnp.arange(pool) < total_valid
 
-    def compact(v):
-        (idx,) = jnp.nonzero(v, size=point_cap, fill_value=v.shape[0] - 1)
-        taken = jnp.arange(point_cap) < v.sum()
-        return idx, taken
+    flat_len = e * k_tracks * t_steps
+    event_of_flat = lambda i: (i // (k_tracks * t_steps)).astype(jnp.int32)
+    px = to_flat(positions[:, :, 0])[idx]
+    py = to_flat(positions[:, :, 1])[idx]
+    ptbf = to_flat(tb_f)[idx]
+    ptbi = to_flat(tb_i)[idx]
+    pne = to_flat(electrons)[idx].astype(f32) * f32(mpgd_gain)
+    pevent = event_of_flat(idx)
+    plabel = jnp.tile(
+        track_labels.reshape(e, k_tracks)[:, :, None], (1, 1, t_steps)
+    ).reshape(flat_len)[idx]
 
-    idx, taken = jax.vmap(compact)(valid_ev)  # [E, P], [E, P]
-    gather = lambda a: jnp.take_along_axis(a, idx, axis=1)
-    px = gather(x_ev)
-    py = gather(y_ev)
-    ptbf = gather(tbf_ev)
-    ptbi = gather(tbi_ev)
-    pne = gather(ne_ev).astype(f32) * f32(mpgd_gain)
-    plabel = gather(label_ev)
-
-    # --- diffusion mesh expansion -------------------------------------- #
+    # --- diffusion mesh expansion ---------------------------------------- #
     # sigma_t = sqrt(2 D dv t / E), t in (float) TBs (transporter.py:301)
     sigma = jnp.sqrt(2.0 * diffusion * drift_velocity * ptbf / efield).astype(f32)
     has_diff = sigma > 0.0
@@ -196,92 +201,98 @@ def deposit_and_merge(
     off_y = mesh_1d[None, :]  # [1, 10]
     step = 6.0 / (MESH_STEPS - 1)  # in sigma units
 
-    # pixel positions [E, P, 10, 10]
-    pix_x = px[..., None, None] + sigma_safe[..., None, None] * off_x
-    pix_y = py[..., None, None] + sigma_safe[..., None, None] * off_y
-    # bivariate normal pdf * pixel area (areas in m^2; sigma^2 cancels)
-    pdf_area = (
-        (step * step / (2.0 * jnp.pi))
-        * jnp.exp(-0.5 * (off_x**2 + off_y**2))
-    )  # [10, 10], independent of sigma
-    q_pix = pne[..., None, None] * pdf_area
+    # pixel positions [pool, 10, 10]
+    pix_x = px[:, None, None] + sigma_safe[:, None, None] * off_x
+    pix_y = py[:, None, None] + sigma_safe[:, None, None] * off_y
+    # bivariate normal pdf * pixel area (sigma^2 cancels against the area)
+    pdf_area = (step * step / (2.0 * jnp.pi)) * jnp.exp(
+        -0.5 * (off_x**2 + off_y**2)
+    )  # [10, 10], sigma-independent
+    q_pix = pne[:, None, None] * pdf_area
     # sigma == 0 (diffusion disabled) -> point transport: all electrons on
-    # the point itself through pixel slot (0, 0) (reference
-    # transporter.py:124-169)
+    # the point itself through pixel slot (0, 0) (transporter.py:124-169)
     q_point = jnp.zeros((MESH_STEPS, MESH_STEPS), dtype=f32).at[0, 0].set(1.0)
-    q_pix = jnp.where(
-        has_diff[..., None, None], q_pix, pne[..., None, None] * q_point
-    )
-    pix_x = jnp.where(has_diff[..., None, None], pix_x, px[..., None, None])
-    pix_y = jnp.where(has_diff[..., None, None], pix_y, py[..., None, None])
+    q_pix = jnp.where(has_diff[:, None, None], q_pix, pne[:, None, None] * q_point)
+    pix_x = jnp.where(has_diff[:, None, None], pix_x, px[:, None, None])
+    pix_y = jnp.where(has_diff[:, None, None], pix_y, py[:, None, None])
 
-    pad = _pad_lookup(grid_flat, grid_n, edges, pix_x, pix_y)  # [E, P, 10, 10]
+    pad = _pad_lookup(grid_flat, grid_n, edges, pix_x, pix_y)  # [pool, 10, 10]
     not_beam = ~beam_mask[jnp.clip(pad, 0, beam_mask.shape[0] - 1)]
-    pix_valid = (pad >= 0) & not_beam & taken[..., None, None]
+    pix_valid = (pad >= 0) & not_beam & taken[:, None, None]
 
-    m = point_cap * MESH_STEPS * MESH_STEPS
-    keys_flat = jnp.where(
+    m = pool * MESH_STEPS * MESH_STEPS
+    gkeys = jnp.where(
         pix_valid,
-        pad * NUM_TB + ptbi[..., None, None],
+        pevent[:, None, None] * PAD_TB + pad * NUM_TB + ptbi[:, None, None],
         KEY_SENTINEL,
-    ).reshape(e, m)
-    q_flat = jnp.where(pix_valid, q_pix, 0.0).reshape(e, m)
+    ).reshape(m)
+    q_flat = jnp.where(pix_valid, q_pix, 0.0).reshape(m)
     label_flat = jnp.broadcast_to(
-        plabel[..., None, None], pix_valid.shape
-    ).reshape(e, m)
+        plabel[:, None, None], pix_valid.shape
+    ).reshape(m)
 
-    # --- stable sort + segment merge per event ------------------------- #
+    # --- ONE stable batch-wide sort + segment merge ----------------------- #
     keys_s, q_s, label_s = jax.lax.sort(
-        (keys_flat, q_flat, label_flat), dimension=1, is_stable=True, num_keys=1
+        (gkeys, q_flat, label_flat), dimension=0, is_stable=True, num_keys=1
     )
-    boundary = jnp.concatenate(
-        [
-            jnp.ones((e, 1), dtype=bool),
-            keys_s[:, 1:] != keys_s[:, :-1],
-        ],
-        axis=1,
-    )
-    # don't count the sentinel run as a segment (sentinels sort to the end)
     real = keys_s != KEY_SENTINEL
-    boundary = boundary & real
-    seg = jnp.cumsum(boundary, axis=1) - 1
-    n_unique = boundary.sum(axis=1).astype(jnp.int32)
-    cloud_overflow = jnp.maximum(n_unique - cloud_cap, 0)
-    seg_c = jnp.clip(seg, 0, cloud_cap - 1)
-    seg_c = jnp.where(real, seg_c, cloud_cap - 1)  # dump sentinels on last slot
+    boundary = (
+        jnp.concatenate([jnp.ones((1,), bool), keys_s[1:] != keys_s[:-1]]) & real
+    )
+    seg = jnp.cumsum(boundary) - 1  # segment index (entries are key-grouped)
+
+    ev_of_entry = jnp.where(real, keys_s // PAD_TB, e - 1)
+    # segments per event + the rank of each entry's segment within its event
+    segs_per_event = (
+        jnp.zeros(e, dtype=jnp.int32)
+        .at[ev_of_entry]
+        .add(boundary.astype(jnp.int32), indices_are_sorted=True)
+    )
+    first_seg_of_event = (
+        jnp.full(e, 2**31 - 1, dtype=jnp.int32)
+        .at[ev_of_entry]
+        .min(
+            jnp.where(real, seg, 2**31 - 1).astype(jnp.int32),
+            indices_are_sorted=True,
+        )
+    )
+    rank = seg.astype(jnp.int32) - first_seg_of_event[ev_of_entry]
+    cloud_overflow = jnp.maximum(segs_per_event - cloud_cap, 0)
+
+    # per-event output slots with one trailing trash slot per event so the
+    # scatter indices stay sorted: slot = ev * (cap+1) + min(rank, cap)
+    capp = cloud_cap + 1
+    slot = ev_of_entry * capp + jnp.minimum(rank, cloud_cap)
+    slot = jnp.where(real, slot, e * capp - 1)
+    n_slots = e * capp
 
     arange_m = jnp.arange(m, dtype=jnp.int32)
-
-    def merge_event(seg_e, real_e, keys_e, q_e, label_e):
-        charges = jnp.zeros(cloud_cap, dtype=f32).at[seg_e].add(
-            jnp.where(real_e, q_e, 0.0), indices_are_sorted=True
-        )
-        key_out = (
-            jnp.full(cloud_cap, KEY_SENTINEL, dtype=jnp.int32)
-            .at[seg_e]
-            .min(jnp.where(real_e, keys_e, KEY_SENTINEL), indices_are_sorted=True)
-        )
-        last_idx = (
-            jnp.zeros(cloud_cap, dtype=jnp.int32)
-            .at[seg_e]
-            .max(jnp.where(real_e, arange_m, 0), indices_are_sorted=True)
-        )
-        label_out = label_e[last_idx]
-        return charges, key_out, label_out
-
-    charges, key_out, label_out = jax.vmap(merge_event)(
-        seg_c, real, keys_s, q_s, label_s
+    charges = (
+        jnp.zeros(n_slots, dtype=f32)
+        .at[slot]
+        .add(jnp.where(real, q_s, 0.0), indices_are_sorted=True)
     )
+    key_out = (
+        jnp.full(n_slots, KEY_SENTINEL, dtype=jnp.int32)
+        .at[slot]
+        .min(jnp.where(real, keys_s, KEY_SENTINEL), indices_are_sorted=True)
+    )
+    last_idx = (
+        jnp.zeros(n_slots, dtype=jnp.int32)
+        .at[slot]
+        .max(jnp.where(real, arange_m, 0), indices_are_sorted=True)
+    )
+    label_out = label_s[last_idx]
+
+    # reshape to [E, cap+1], drop the trash column
+    charges = charges.reshape(e, capp)[:, :cloud_cap]
+    key_out = key_out.reshape(e, capp)[:, :cloud_cap]
+    label_out = label_out.reshape(e, capp)[:, :cloud_cap]
 
     cloud_valid = key_out != KEY_SENTINEL
-    # on overflow the segments beyond the cap were clipped into the last
-    # slot, corrupting it — invalidate it in that case
-    cloud_valid = cloud_valid.at[:, cloud_cap - 1].set(
-        cloud_valid[:, cloud_cap - 1] & (n_unique <= cloud_cap)
-    )
-
-    pads_out = jnp.where(cloud_valid, key_out // NUM_TB, -1)
-    tbs_int = jnp.where(cloud_valid, key_out % NUM_TB, 0)
+    local_key = key_out - jnp.arange(e, dtype=jnp.int32)[:, None] * PAD_TB
+    pads_out = jnp.where(cloud_valid, local_key // NUM_TB, -1)
+    tbs_int = jnp.where(cloud_valid, local_key % NUM_TB, 0)
 
     # TB wiggle U[0, 1) (simulator.py:108)
     wiggle = jax.random.uniform(key, tbs_int.shape, dtype=f32)
@@ -294,6 +305,6 @@ def deposit_and_merge(
         "labels": jnp.where(cloud_valid, label_out, -1),
         "cloud_valid": cloud_valid,
         "n_points": n_points,
-        "point_overflow": point_overflow,
+        "pool_overflow": pool_overflow,
         "cloud_overflow": cloud_overflow,
     }

@@ -48,9 +48,9 @@ class EngineParams:
         Integrator step in seconds (reference: 1e-10).
     chunk_steps: int
         Scan chunk size for the early-exit outer loop.
-    point_cap: int
-        Max deposit points kept per event (overflow is counted and
-        reported).
+    point_budget: int
+        Shared deposit-point pool budget per event (the pool size is
+        events_per_batch * point_budget; overflow is counted and reported).
     cloud_cap: int
         Max unique (pad, tb) cloud points per event.
     events_per_batch: int
@@ -60,8 +60,8 @@ class EngineParams:
     n_time_steps: int = 10000
     dt: float = 1e-10
     chunk_steps: int = 500
-    point_cap: int = 4096
-    cloud_cap: int = 2048
+    point_budget: int = 1024
+    cloud_cap: int = 8192
     events_per_batch: int = 64
 
 
@@ -184,7 +184,7 @@ class DetectorSimulator:
             mpgd_gain=float(cfg.det_params.mpgd_gain),
             n_events=e,
             tracks_per_event=k,
-            point_cap=eng.point_cap,
+            point_budget=eng.point_budget,
             cloud_cap=eng.cloud_cap,
         )
         spyral, labels, counts = self._convert_to_spyral(cloud)

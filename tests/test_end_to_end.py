@@ -130,7 +130,7 @@ def test_full_chain(tmp_path):
     engine = EngineParams(
         n_time_steps=2000,
         chunk_steps=250,
-        point_cap=2048,
+        point_budget=2048,
         cloud_cap=1024,
         events_per_batch=4,
     )

@@ -35,11 +35,11 @@ def timeit(label, fn, n=3):
 def main():
     e = int(os.environ.get("PROF_EVENTS", 64))
     steps = int(os.environ.get("PROF_STEPS", 10000))
-    point_cap = int(os.environ.get("PROF_POINT_CAP", 4096))
-    cloud_cap = int(os.environ.get("PROF_CLOUD_CAP", 2048))
+    point_budget = int(os.environ.get("PROF_POINT_BUDGET", 1024))
+    cloud_cap = int(os.environ.get("PROF_CLOUD_CAP", 8192))
 
     pipeline, sim = _tiny_setup(events_per_batch=e, n_time_steps=steps)
-    sim.engine.point_cap = point_cap
+    sim.engine.point_budget = point_budget
     sim.engine.cloud_cap = cloud_cap
     cfg = sim.config
     dev = cfg.device_arrays()
@@ -54,7 +54,7 @@ def main():
     key = jax.random.PRNGKey(1)
 
     b = pos0.shape[0]
-    print(f"events={e} tracks={b} steps={steps} point_cap={point_cap}")
+    print(f"events={e} tracks={b} steps={steps} point_budget={point_budget}")
 
     integ = lambda: jax.block_until_ready(
         integrate_tracks(
@@ -94,7 +94,7 @@ def main():
             length=cfg.det_params.length,
             mpgd_gain=float(cfg.det_params.mpgd_gain),
             n_events=e, tracks_per_event=sim.k_tracks,
-            point_cap=point_cap, cloud_cap=cloud_cap,
+            point_budget=point_budget, cloud_cap=cloud_cap,
         )
     )
     t_dep = timeit("deposit+merge", dep)
@@ -109,10 +109,10 @@ def main():
         length=cfg.det_params.length,
         mpgd_gain=float(cfg.det_params.mpgd_gain),
         n_events=e, tracks_per_event=sim.k_tracks,
-        point_cap=point_cap, cloud_cap=cloud_cap,
+        point_budget=point_budget, cloud_cap=cloud_cap,
     )
     print(f"  n_points avg: {np.asarray(cloud['n_points']).mean():.0f}, "
-          f"point_overflow max: {np.asarray(cloud['point_overflow']).max()}, "
+          f"pool_overflow: {np.asarray(cloud['pool_overflow'])}, "
           f"cloud pts avg: {np.asarray(cloud['cloud_valid'].sum(1)).mean():.0f}, "
           f"cloud_overflow max: {np.asarray(cloud['cloud_overflow']).max()}")
 
