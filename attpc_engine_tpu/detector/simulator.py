@@ -351,6 +351,22 @@ def run_simulation(
             pass
 
     eb = engine.events_per_batch
+
+    def write_out(pending):
+        out, start, n = pending
+        writer.write_spyral_batch(
+            np.asarray(out["spyral"][:n], dtype=np.float64),
+            np.asarray(out["spyral_labels"][:n], dtype=np.int64),
+            np.asarray(out["spyral_counts"][:n]),
+            event_numbers=np.arange(start, start + n),
+        )
+        if progress is not None:
+            progress.update(n)
+
+    # double buffering: the device computes batch k+1 while the host pulls
+    # and writes batch k (jax dispatch is async; np.asarray syncs only the
+    # batch being written)
+    pending = None
     try:
         for start, vertices, momenta in reader.batches(eb):
             n = len(vertices)
@@ -362,14 +378,11 @@ def run_simulation(
                 )
             key = jax.random.fold_in(base_key, start)
             out = sim.simulate_batch(key, vertices, momenta)
-            writer.write_spyral_batch(
-                np.asarray(out["spyral"][:n], dtype=np.float64),
-                np.asarray(out["spyral_labels"][:n], dtype=np.int64),
-                np.asarray(out["spyral_counts"][:n]),
-                event_numbers=np.arange(start, start + n),
-            )
-            if progress is not None:
-                progress.update(n)
+            if pending is not None:
+                write_out(pending)
+            pending = (out, start, n)
+        if pending is not None:
+            write_out(pending)
     finally:
         writer.close()
         reader.close()

@@ -485,17 +485,34 @@ def run_kinematics_pipeline(
 
     written = 0
     batch_index = 0
+    pending = None  # double buffering: write batch k while k+1 computes
     try:
         while written < n_events:
             n = min(batch_size, n_events - written)
             key = jax.random.fold_in(base_key, batch_index)
-            vertices, momenta = pipeline.run_batch(n, key=key)
-            writer.write_batch(vertices, momenta)
+            vertices, momenta, accepted = pipeline._run_batch_jit(key, n)
+            if pending is not None:
+                _drain_kinematics_batch(pipeline, writer, progress, pending)
+            pending = (vertices, momenta, accepted, n)
             written += n
             batch_index += 1
-            if progress is not None:
-                progress.update(n)
+        if pending is not None:
+            _drain_kinematics_batch(pipeline, writer, progress, pending)
     finally:
         writer.close()
         if progress is not None:
             progress.close()
+
+
+def _drain_kinematics_batch(pipeline, writer, progress, pending) -> None:
+    vertices, momenta, accepted, n = pending
+    accepted = np.asarray(accepted)
+    if not accepted.all():
+        n_bad = int((~accepted).sum())
+        raise PipelineError(
+            f"Reached Sampling Limit ({pipeline.event_sample_limit} samples)"
+            f" for {n_bad} events! You may have defined an illegal reaction!"
+        )
+    writer.write_batch(np.asarray(vertices), np.asarray(momenta))
+    if progress is not None:
+        progress.update(n)
