@@ -319,12 +319,21 @@ def run_simulation(
     engine: EngineParams | None = None,
     seed: int | None = None,
     show_progress: bool = True,
+    start_event: int = 0,
+    stop_event: int | None = None,
 ):
     """Run the detector simulation over a kinematics file.
 
     Batched analog of the reference driver (simulator.py:118-210): reads
     event batches (either kinematics schema), simulates them as single XLA
     program executions, and hands Spyral-formatted batches to the writer.
+
+    Resume/checkpointing: per-batch RNG keys derive from
+    fold_in(seed, event_start), so an interrupted run restarted with the
+    same seed and ``start_event`` (paired with the writer's
+    ``first_run_number``) reproduces exactly the events it would have
+    produced — restartability the reference only offers at whole-run
+    granularity (SURVEY.md section 5).
     """
     from ..io.kinematics_file import KinematicsReader
 
@@ -367,8 +376,10 @@ def run_simulation(
     # and writes batch k (jax dispatch is async; np.asarray syncs only the
     # batch being written)
     pending = None
+    stop = reader.n_events if stop_event is None else min(stop_event, reader.n_events)
     try:
-        for start, vertices, momenta in reader.batches(eb):
+        for start in range(start_event, stop, eb):
+            vertices, momenta = reader.read_range(start, min(start + eb, stop))
             n = len(vertices)
             if n < eb:  # pad the tail batch to avoid a recompile
                 pad_n = eb - n
