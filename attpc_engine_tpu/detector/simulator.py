@@ -53,6 +53,9 @@ class EngineParams:
         events_per_batch * point_budget; overflow is counted and reported).
     cloud_cap: int
         Max unique (pad, tb) cloud points per event.
+    out_budget: int
+        Shared output pool budget per event for the Spyral-formatted rows
+        (device->host transfers scale with this, not with cloud_cap).
     events_per_batch: int
         Events per XLA program execution.
     """
@@ -61,8 +64,9 @@ class EngineParams:
     dt: float = 1e-10
     chunk_steps: int = 500
     point_budget: int = 1024
-    cloud_cap: int = 8192
-    events_per_batch: int = 64
+    cloud_cap: int = 12288
+    out_budget: int = 2048
+    events_per_batch: int = 256
 
 
 class DetectorSimulator:
@@ -187,10 +191,11 @@ class DetectorSimulator:
             point_budget=eng.point_budget,
             cloud_cap=eng.cloud_cap,
         )
-        spyral, labels, counts = self._convert_to_spyral(cloud)
-        cloud["spyral"] = spyral
+        spyral, labels, counts, out_overflow = self._convert_to_spyral(cloud)
+        cloud["spyral"] = spyral  # [E * out_budget, 8] pooled, event-ordered
         cloud["spyral_labels"] = labels
         cloud["spyral_counts"] = counts
+        cloud["spyral_overflow"] = out_overflow
         return cloud
 
     def _convert_to_spyral(self, cloud):
@@ -228,30 +233,46 @@ class DetectorSimulator:
         integral = jnp.where(q > 0, integral, 0.0)
 
         keep = valid & (amp > float(cfg.elec_params.adc_threshold))
+        counts = keep.sum(axis=1).astype(jnp.int32)
+
+        # z-sort per event: sort (zkey, row-index) only, gather the payload
+        # columns afterwards (cheaper than dragging 10 operands through the
+        # sorting network)
+        e, c = keep.shape
         zkey = jnp.where(keep, z_mm, jnp.inf)
-        (zs, xs, ys, amps, ints, pids, tbf, szs, lbls, keeps) = jax.lax.sort(
-            (
-                zkey,
-                cx,
-                cy,
-                amp,
-                integral,
-                pads.astype(jnp.float32),
-                tbs,
-                size,
-                labels,
-                keep.astype(jnp.int32),
-            ),
-            dimension=1,
-            is_stable=True,
-            num_keys=1,
-        )
+        row_idx = jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32)[None, :], (e, c))
+        _, perm = jax.lax.sort((zkey, row_idx), dimension=1, is_stable=True,
+                               num_keys=1)
+        take = lambda a: jnp.take_along_axis(a, perm, axis=1)
         spyral = jnp.stack(
-            [xs, ys, jnp.where(jnp.isfinite(zs), zs, 0.0), amps, ints, pids, tbf, szs],
+            [
+                take(cx),
+                take(cy),
+                jnp.where(jnp.isfinite(take(zkey)), take(zkey), 0.0),
+                take(amp),
+                take(integral),
+                take(pads.astype(jnp.float32)),
+                take(tbs),
+                take(size),
+            ],
             axis=-1,
         )
-        counts = keeps.sum(axis=1).astype(jnp.int32)
-        return spyral, lbls, counts
+        lbls = take(labels)
+
+        # pooled output compaction: kept rows (already leading per event
+        # after the z-sort) gathered into one [E * out_budget, 8] buffer so
+        # the device->host transfer scales with real cloud sizes
+        out_budget = self.engine.out_budget
+        out_pool = e * out_budget
+        kept_lead = row_idx < counts[:, None]  # kept rows lead after sort
+        flat_keep = kept_lead.reshape(-1)
+        (pool_idx,) = jnp.nonzero(flat_keep, size=out_pool, fill_value=0)
+        pool_taken = jnp.arange(out_pool) < flat_keep.sum()
+        spyral_pool = spyral.reshape(e * c, 8)[pool_idx]
+        spyral_pool = jnp.where(pool_taken[:, None], spyral_pool, 0.0)
+        labels_pool = jnp.where(pool_taken, lbls.reshape(e * c)[pool_idx], -1)
+        out_overflow = jnp.maximum(counts.sum() - out_pool, 0)
+        return spyral_pool, labels_pool, counts, out_overflow
 
     # ------------------------------------------------------------------ #
 
@@ -266,9 +287,11 @@ class DetectorSimulator:
 
         Returns
         -------
-        dict with device arrays: ``spyral`` [E, C, 8] (z-sorted, thresholded,
-        valid rows first), ``spyral_labels`` [E, C], ``spyral_counts`` [E],
-        plus the raw merged cloud arrays and overflow counters.
+        dict with device arrays: ``spyral`` [E * out_budget, 8] — the
+        z-sorted, ADC-thresholded rows of all events pooled in event order
+        (slice event i as rows [cumsum(counts)[i-1] : cumsum(counts)[i]]);
+        ``spyral_labels`` likewise; ``spyral_counts`` [E]; plus the raw
+        merged cloud arrays and overflow counters.
         """
         e = len(vertices)
         # initial gamma*beta = p / m (reference solver.py:273), f64 on host
@@ -363,10 +386,18 @@ def run_simulation(
 
     def write_out(pending):
         out, start, n = pending
-        writer.write_spyral_batch(
-            np.asarray(out["spyral"][:n], dtype=np.float64),
-            np.asarray(out["spyral_labels"][:n], dtype=np.int64),
-            np.asarray(out["spyral_counts"][:n]),
+        counts = np.asarray(out["spyral_counts"][:n])
+        total = int(counts.sum())
+        spyral_pool = np.asarray(out["spyral"][:total], dtype=np.float64)
+        labels_pool = np.asarray(out["spyral_labels"][:total], dtype=np.int64)
+        overflow = int(np.asarray(out["spyral_overflow"]))
+        if overflow > 0:
+            raise RuntimeError(
+                f"Spyral output pool overflow ({overflow} rows); raise "
+                "EngineParams.out_budget"
+            )
+        writer.write_spyral_pool(
+            spyral_pool, labels_pool, counts,
             event_numbers=np.arange(start, start + n),
         )
         if progress is not None:

@@ -141,6 +141,25 @@ class SpyralWriter:
                 continue
             self._write_event(spyral[i, :n], labels[i, :n], int(event_number))
 
+    def write_spyral_pool(
+        self,
+        spyral_pool: np.ndarray,
+        labels_pool: np.ndarray,
+        counts: np.ndarray,
+        event_numbers: np.ndarray,
+    ) -> None:
+        """Write a pooled device-converted batch: spyral_pool [sum(counts), 8]
+        with the events' rows concatenated in order. Empty events are
+        skipped."""
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        for i, event_number in enumerate(event_numbers):
+            lo, hi = int(offsets[i]), int(offsets[i + 1])
+            if hi == lo:
+                continue
+            self._write_event(
+                spyral_pool[lo:hi], labels_pool[lo:hi], int(event_number)
+            )
+
     def write(
         self, data: np.ndarray, labels: np.ndarray, config: Config, event_number: int
     ) -> None:

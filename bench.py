@@ -38,6 +38,9 @@ def main() -> None:
 
     import jax
 
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
     from attpc_engine_tpu import nuclear_map
     from attpc_engine_tpu.nuclear import GasTarget
     from attpc_engine_tpu.detector import (

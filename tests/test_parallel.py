@@ -65,11 +65,12 @@ def test_sharded_matches_single_device():
     np.testing.assert_array_equal(c_single, c_sharded)
     s_single = np.asarray(out_single["spyral"])
     s_sharded = np.asarray(out_sharded["spyral"])
+    offsets = np.concatenate([[0], np.cumsum(c_single)])
     for e in range(8):
-        n = c_single[e]
+        lo, hi = offsets[e], offsets[e + 1]
         np.testing.assert_array_equal(
-            np.sort(s_single[e, :n, 5]), np.sort(s_sharded[e, :n, 5])
+            np.sort(s_single[lo:hi, 5]), np.sort(s_sharded[lo:hi, 5])
         )  # same pads
         np.testing.assert_allclose(
-            s_single[e, :n, 4].sum(), s_sharded[e, :n, 4].sum(), rtol=1e-3
+            s_single[lo:hi, 4].sum(), s_sharded[lo:hi, 4].sum(), rtol=1e-3
         )  # same total integral
