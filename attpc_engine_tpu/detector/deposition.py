@@ -227,14 +227,17 @@ def deposit_and_merge(
         KEY_SENTINEL,
     ).reshape(m)
     q_flat = jnp.where(pix_valid, q_pix, 0.0).reshape(m)
-    label_flat = jnp.broadcast_to(
-        plabel[:, None, None], pix_valid.shape
-    ).reshape(m)
 
     # --- ONE stable batch-wide sort + segment merge ----------------------- #
-    keys_s, q_s, label_s = jax.lax.sort(
-        (gkeys, q_flat, label_flat), dimension=0, is_stable=True, num_keys=1
+    # sort (key, entry-index) only; payloads are gathered through the
+    # permutation afterwards (cheaper than moving them through the network)
+    entry_idx = jnp.arange(m, dtype=jnp.int32)
+    keys_s, perm = jax.lax.sort(
+        (gkeys, entry_idx), dimension=0, is_stable=True, num_keys=1
     )
+    q_s = q_flat[perm]
+    # label is constant across a point's 100 pixels: index the point pool
+    label_s = plabel[perm // (MESH_STEPS * MESH_STEPS)]
     real = keys_s != KEY_SENTINEL
     boundary = (
         jnp.concatenate([jnp.ones((1,), bool), keys_s[1:] != keys_s[:-1]]) & real
