@@ -25,11 +25,20 @@ from attpc_engine_tpu.detector.transport import integrate_tracks
 from attpc_engine_tpu.detector.deposition import deposit_and_merge, generate_electrons
 
 
+def _force(x):
+    """Force full execution: pull one element of every output leaf to host
+    (block_until_ready alone is unreliable over the axon tunnel)."""
+    import jax
+    for leaf in jax.tree.leaves(x):
+        np.asarray(leaf.ravel()[0])
+    return x
+
+
 def timeit(label, fn, n=3):
-    fn()  # compile
+    _force(fn())  # compile
     t0 = time.perf_counter()
     for _ in range(n):
-        fn()
+        _force(fn())
     dt = (time.perf_counter() - t0) / n
     print(f"{label}: {dt * 1000:.1f} ms", flush=True)
     return dt
@@ -59,7 +68,7 @@ def main():
     b = pos0.shape[0]
     print(f"events={e} tracks={b} steps={steps} point_budget={point_budget}")
 
-    integ = lambda: jax.block_until_ready(
+    integ = lambda: (
         integrate_tracks(
             pos0, gvs, s_idx, sim.species,
             density=cfg.det_params.gas_target.density,
@@ -86,7 +95,7 @@ def main():
     )
     labels = jnp.tile(jnp.asarray(sim.sim_indices, dtype=jnp.int32), e)
 
-    dep = lambda: jax.block_until_ready(
+    dep = lambda: (
         deposit_and_merge(
             key, positions, electrons, alive, labels,
             dev["grid"], dev["edges"], dev["beam_mask"],
@@ -120,10 +129,10 @@ def main():
           f"cloud_overflow max: {np.asarray(cloud['cloud_overflow']).max()}")
 
     conv_jit = jax.jit(sim._convert_to_spyral)
-    conv = lambda: jax.block_until_ready(conv_jit(cloud))
+    conv = lambda: conv_jit(cloud)
     t_conv = timeit("convert", conv)
 
-    full = lambda: jax.block_until_ready(
+    full = lambda: (
         sim._sim_jit(key, jnp.asarray(vertices, dtype=jnp.float32),
                      gvs.reshape(e, sim.k_tracks, 3), e)["spyral"]
     )
