@@ -18,10 +18,12 @@ Szudzik(tb, pad). Here the whole batch is processed as array programs:
    come from one gather into the 5600x5600 lookup grid; the beam-pad veto
    is a LUT gather (vs the reference's 122-element linear scan per pixel),
 4. ONE stable batch-wide sort over event-packed keys
-   (event * (10240*512) + pad * 512 + tb) + a segment reduction merges
-   duplicates: charge is summed, the label is the last writer in deposition
-   order — exactly the reference's dict-overwrite semantics
-   (transporter.py:169,249). Segments scatter into per-event output slots,
+   (event * (10240*512) + pad * 512 + tb) carrying the charge, followed by a
+   boundary-gather merge (segment starts found by one cumsum/nonzero, charge
+   sums by f64 prefix-sum differences): charge is summed, the label is the
+   last writer in deposition order — exactly the reference's dict-overwrite
+   semantics (transporter.py:169,249). The merged points come out pooled in
+   event order — no per-event scatter at all,
 5. the per-point TB wiggle U[0,1) and the 0 <= tb < 512 bound
    (simulator.py:108-113) are applied to the merged cloud.
 
@@ -135,14 +137,19 @@ def deposit_and_merge(
     point_budget: shared point pool capacity = n_events * point_budget.
         On pool overflow the trailing (flat-order) points are dropped and
         counted in ``pool_overflow``.
-    cloud_cap: max unique (pad, tb) points per event (overflow counted).
+    cloud_cap: shared unique-(pad, tb) segment pool budget per event (total
+        capacity = n_events * cloud_cap; overflow counted).
 
     Returns
     -------
-    dict with per-event fixed-capacity cloud arrays:
-        pads [E, C] i32, tbs [E, C] f32 (wiggled), charges [E, C] f32
-        (gain applied), labels [E, C] i32, cloud_valid [E, C] bool,
-        n_points [E] i32, pool_overflow [] i32, cloud_overflow [E] i32.
+    dict of POOLED cloud arrays of size S = n_events * cloud_cap, the
+    events' unique (pad, tb) points concatenated in event order (the sort
+    key is event-major), valid rows first per event:
+        pads [S] i32, tbs [S] f32 (wiggled), charges [S] f32 (gain
+        applied), labels [S] i32, events [S] i32 (= n_events for invalid
+        rows), cloud_valid [S] bool, counts [E] i32 (points per event),
+        n_points [E] i32 (deposit points), pool_overflow [] i32,
+        seg_overflow [] i32.
     """
     t_steps, b = electrons.shape
     k_tracks = tracks_per_event
@@ -220,82 +227,65 @@ def deposit_and_merge(
     not_beam = ~beam_mask[jnp.clip(pad, 0, beam_mask.shape[0] - 1)]
     pix_valid = (pad >= 0) & not_beam & taken[:, None, None]
 
-    m = pool * MESH_STEPS * MESH_STEPS
+    # --- ONE stable batch-wide sort + boundary-gather merge --------------- #
+    n_px = MESH_STEPS * MESH_STEPS
+    m2 = pool * n_px
     gkeys = jnp.where(
         pix_valid,
         pevent[:, None, None] * PAD_TB + pad * NUM_TB + ptbi[:, None, None],
         KEY_SENTINEL,
-    ).reshape(m)
-    q_flat = jnp.where(pix_valid, q_pix, 0.0).reshape(m)
-
-    # --- ONE stable batch-wide sort + segment merge ----------------------- #
-    # sort (key, entry-index) only; payloads are gathered through the
-    # permutation afterwards (cheaper than moving them through the network)
-    entry_idx = jnp.arange(m, dtype=jnp.int32)
-    keys_s, perm = jax.lax.sort(
-        (gkeys, entry_idx), dimension=0, is_stable=True, num_keys=1
+    ).reshape(m2)
+    q2 = jnp.where(pix_valid, q_pix, 0.0).reshape(m2)
+    entry_idx = jnp.arange(m2, dtype=jnp.int32)
+    # q rides the sort (a post-hoc permutation gather measured 3x slower)
+    keys_s, q_s, perm = jax.lax.sort(
+        (gkeys, q2, entry_idx), dimension=0, is_stable=True, num_keys=1
     )
-    q_s = q_flat[perm]
-    # label is constant across a point's 100 pixels: index the point pool
-    label_s = plabel[perm // (MESH_STEPS * MESH_STEPS)]
     real = keys_s != KEY_SENTINEL
     boundary = (
         jnp.concatenate([jnp.ones((1,), bool), keys_s[1:] != keys_s[:-1]]) & real
     )
-    seg = jnp.cumsum(boundary) - 1  # segment index (entries are key-grouped)
+    n_real = real.sum().astype(jnp.int32)
+    n_seg = boundary.sum().astype(jnp.int32)
 
-    ev_of_entry = jnp.where(real, keys_s // PAD_TB, e - 1)
-    # segments per event + the rank of each entry's segment within its event
-    segs_per_event = (
-        jnp.zeros(e, dtype=jnp.int32)
-        .at[ev_of_entry]
-        .add(boundary.astype(jnp.int32), indices_are_sorted=True)
-    )
-    first_seg_of_event = (
-        jnp.full(e, 2**31 - 1, dtype=jnp.int32)
-        .at[ev_of_entry]
-        .min(
-            jnp.where(real, seg, 2**31 - 1).astype(jnp.int32),
-            indices_are_sorted=True,
-        )
-    )
-    rank = seg.astype(jnp.int32) - first_seg_of_event[ev_of_entry]
-    cloud_overflow = jnp.maximum(segs_per_event - cloud_cap, 0)
+    s_cap = e * cloud_cap
+    (starts,) = jnp.nonzero(boundary, size=s_cap, fill_value=m2 - 1)
+    seg_taken = jnp.arange(s_cap, dtype=jnp.int32) < n_seg
+    seg_overflow = jnp.maximum(n_seg - s_cap, 0)
 
-    # per-event output slots with one trailing trash slot per event so the
-    # scatter indices stay sorted: slot = ev * (cap+1) + min(rank, cap)
-    capp = cloud_cap + 1
-    slot = ev_of_entry * capp + jnp.minimum(rank, cloud_cap)
-    slot = jnp.where(real, slot, e * capp - 1)
-    n_slots = e * capp
+    # segment ends (exclusive): the next segment's start, or the first
+    # sentinel entry for the last real segment
+    starts_next = jnp.concatenate([starts[1:], jnp.array([0], starts.dtype)])
+    seg_i = jnp.arange(s_cap, dtype=jnp.int32)
+    ends = jnp.where(seg_i < n_seg - 1, starts_next, n_real)
 
-    arange_m = jnp.arange(m, dtype=jnp.int32)
-    charges = (
-        jnp.zeros(n_slots, dtype=f32)
-        .at[slot]
-        .add(jnp.where(real, q_s, 0.0), indices_are_sorted=True)
-    )
-    key_out = (
-        jnp.full(n_slots, KEY_SENTINEL, dtype=jnp.int32)
-        .at[slot]
-        .min(jnp.where(real, keys_s, KEY_SENTINEL), indices_are_sorted=True)
-    )
-    last_idx = (
-        jnp.zeros(n_slots, dtype=jnp.int32)
-        .at[slot]
-        .max(jnp.where(real, arange_m, 0), indices_are_sorted=True)
-    )
-    label_out = label_s[last_idx]
+    # per-segment charge via f64 prefix sums (exact at electron scale)
+    prefix_q = jnp.cumsum(q_s.astype(jnp.float64))
+    q_lo = jnp.where(starts > 0, prefix_q[jnp.maximum(starts - 1, 0)], 0.0)
+    qsum = (prefix_q[jnp.maximum(ends - 1, 0)] - q_lo).astype(f32)
 
-    # reshape to [E, cap+1], drop the trash column
-    charges = charges.reshape(e, capp)[:, :cloud_cap]
-    key_out = key_out.reshape(e, capp)[:, :cloud_cap]
-    label_out = label_out.reshape(e, capp)[:, :cloud_cap]
+    key_seg = keys_s[starts]
+    # last-writer label (reference dict-overwrite semantics): stable sort
+    # keeps deposition order within a key, so the segment's last entry is
+    # the last writer; its point index recovers the label
+    label_seg = plabel[perm[jnp.maximum(ends - 1, 0)] // n_px]
 
-    cloud_valid = key_out != KEY_SENTINEL
-    local_key = key_out - jnp.arange(e, dtype=jnp.int32)[:, None] * PAD_TB
-    pads_out = jnp.where(cloud_valid, local_key // NUM_TB, -1)
-    tbs_int = jnp.where(cloud_valid, local_key % NUM_TB, 0)
+    valid_seg = seg_taken & (key_seg != KEY_SENTINEL)
+    # on pool overflow the last kept slot's end is unknown (the next start
+    # was truncated away) — invalidate it; seg_overflow reports the loss
+    valid_seg = valid_seg & ~(
+        (seg_overflow > 0) & (seg_i == s_cap - 1)
+    )
+    event_seg = jnp.where(valid_seg, key_seg // PAD_TB, e)
+    local_key = key_seg - event_seg * PAD_TB
+    pads_out = jnp.where(valid_seg, local_key // NUM_TB, -1)
+    tbs_int = jnp.where(valid_seg, local_key % NUM_TB, 0)
+
+    # per-event counts: event_seg ascends (keys are event-major), so counts
+    # come from two binary searches per event
+    ev_range = jnp.arange(e + 1, dtype=jnp.int32)
+    bounds = jnp.searchsorted(event_seg, ev_range, side="left")
+    counts = (bounds[1:] - bounds[:-1]).astype(jnp.int32)
 
     # TB wiggle U[0, 1) (simulator.py:108)
     wiggle = jax.random.uniform(key, tbs_int.shape, dtype=f32)
@@ -304,10 +294,12 @@ def deposit_and_merge(
     return {
         "pads": pads_out,
         "tbs": tbs_out,
-        "charges": jnp.where(cloud_valid, charges, 0.0),
-        "labels": jnp.where(cloud_valid, label_out, -1),
-        "cloud_valid": cloud_valid,
+        "charges": jnp.where(valid_seg, qsum, 0.0),
+        "labels": jnp.where(valid_seg, label_seg, -1),
+        "events": event_seg,
+        "cloud_valid": valid_seg,
+        "counts": counts,
         "n_points": n_points,
         "pool_overflow": pool_overflow,
-        "cloud_overflow": cloud_overflow,
+        "seg_overflow": seg_overflow,
     }

@@ -52,7 +52,7 @@ class EngineParams:
         Shared deposit-point pool budget per event (the pool size is
         events_per_batch * point_budget; overflow is counted and reported).
     cloud_cap: int
-        Max unique (pad, tb) cloud points per event.
+        Shared unique-(pad, tb) cloud pool budget per event.
     out_budget: int
         Shared output pool budget per event for the Spyral-formatted rows
         (device->host transfers scale with this, not with cloud_cap).
@@ -65,7 +65,7 @@ class EngineParams:
     chunk_steps: int = 500
     point_budget: int = 1024
     cloud_cap: int = 12288
-    out_budget: int = 2048
+    out_budget: int = 6144
     events_per_batch: int = 256
 
 
@@ -200,7 +200,10 @@ class DetectorSimulator:
 
     def _convert_to_spyral(self, cloud):
         """Batched Spyral 8-column conversion + ADC threshold + z-sort
-        (reference writer.py:61-112,222-238).
+        (reference writer.py:61-112,222-238), fully pooled: the cloud
+        arrives as [S] pooled unique points (event-ordered), kept rows are
+        compacted into the [E * out_budget] output pool, then one
+        multi-operand sort orders them by (event, z).
 
         Columns: [pad_x_mm, pad_y_mm, z_mm, amplitude, integral, pad_id,
         tb_float, pad_size]."""
@@ -211,6 +214,8 @@ class DetectorSimulator:
         q = cloud["charges"]
         valid = cloud["cloud_valid"]
         labels = cloud["labels"]
+        events = cloud["events"]
+        e = cloud["counts"].shape[0]
 
         pad_safe = jnp.clip(pads, 0, dev["centers"].shape[0] - 1)
         cx = dev["centers"][pad_safe, 0]
@@ -233,45 +238,48 @@ class DetectorSimulator:
         integral = jnp.where(q > 0, integral, 0.0)
 
         keep = valid & (amp > float(cfg.elec_params.adc_threshold))
-        counts = keep.sum(axis=1).astype(jnp.int32)
 
-        # z-sort per event: sort (zkey, row-index) only, gather the payload
-        # columns afterwards (cheaper than dragging 10 operands through the
-        # sorting network)
-        e, c = keep.shape
-        zkey = jnp.where(keep, z_mm, jnp.inf)
-        row_idx = jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32)[None, :], (e, c))
-        _, perm = jax.lax.sort((zkey, row_idx), dimension=1, is_stable=True,
-                               num_keys=1)
-        take = lambda a: jnp.take_along_axis(a, perm, axis=1)
-        spyral = jnp.stack(
-            [
-                take(cx),
-                take(cy),
-                jnp.where(jnp.isfinite(take(zkey)), take(zkey), 0.0),
-                take(amp),
-                take(integral),
-                take(pads.astype(jnp.float32)),
-                take(tbs),
-                take(size),
-            ],
-            axis=-1,
+        # compact kept rows into the output pool
+        out_pool = e * self.engine.out_budget
+        n_keep = keep.sum().astype(jnp.int32)
+        (kidx,) = jnp.nonzero(keep, size=out_pool, fill_value=keep.shape[0] - 1)
+        taken = jnp.arange(out_pool, dtype=jnp.int32) < n_keep
+        out_overflow = jnp.maximum(n_keep - out_pool, 0)
+
+        ev_k = jnp.where(taken, events[kidx], e)
+        z_k = z_mm[kidx]
+        # (event, z) sort key: z >= 0 so its f32 bit pattern is monotone
+        zbits = jax.lax.bitcast_convert_type(z_k.astype(jnp.float32), jnp.int32)
+        key64 = ev_k.astype(jnp.int64) * (1 << 32) + zbits.astype(jnp.int64)
+        key64 = jnp.where(taken, key64, jnp.iinfo(jnp.int64).max)
+
+        (_, xs, ys, zs, amps, ints, pids, tbf, szs, lbls, evs) = jax.lax.sort(
+            (
+                key64,
+                cx[kidx],
+                cy[kidx],
+                z_k,
+                amp[kidx],
+                integral[kidx],
+                pads[kidx].astype(jnp.float32),
+                tbs[kidx],
+                size[kidx],
+                labels[kidx],
+                ev_k,
+            ),
+            dimension=0,
+            is_stable=True,
+            num_keys=1,
         )
-        lbls = take(labels)
+        ok = jnp.arange(out_pool, dtype=jnp.int32) < n_keep
+        spyral_pool = jnp.stack([xs, ys, zs, amps, ints, pids, tbf, szs], axis=-1)
+        spyral_pool = jnp.where(ok[:, None], spyral_pool, 0.0)
+        labels_pool = jnp.where(ok, lbls, -1)
 
-        # pooled output compaction: kept rows (already leading per event
-        # after the z-sort) gathered into one [E * out_budget, 8] buffer so
-        # the device->host transfer scales with real cloud sizes
-        out_budget = self.engine.out_budget
-        out_pool = e * out_budget
-        kept_lead = row_idx < counts[:, None]  # kept rows lead after sort
-        flat_keep = kept_lead.reshape(-1)
-        (pool_idx,) = jnp.nonzero(flat_keep, size=out_pool, fill_value=0)
-        pool_taken = jnp.arange(out_pool) < flat_keep.sum()
-        spyral_pool = spyral.reshape(e * c, 8)[pool_idx]
-        spyral_pool = jnp.where(pool_taken[:, None], spyral_pool, 0.0)
-        labels_pool = jnp.where(pool_taken, lbls.reshape(e * c)[pool_idx], -1)
-        out_overflow = jnp.maximum(counts.sum() - out_pool, 0)
+        # per-event kept counts from the sorted event column
+        ev_range = jnp.arange(e + 1, dtype=jnp.int32)
+        bounds = jnp.searchsorted(evs, ev_range, side="left")
+        counts = (bounds[1:] - bounds[:-1]).astype(jnp.int32)
         return spyral_pool, labels_pool, counts, out_overflow
 
     # ------------------------------------------------------------------ #
@@ -321,16 +329,16 @@ def simulate(
     )
     key = jax.random.PRNGKey(int(rng.integers(0, 2**63 - 1)))
     out = sim.simulate_batch(key, vertex[None, :], momenta[None, :, :])
-    valid = np.asarray(out["cloud_valid"][0])
+    sel = np.asarray(out["cloud_valid"]) & (np.asarray(out["events"]) == 0)
     cloud = np.stack(
         [
-            np.asarray(out["pads"][0], dtype=np.float64),
-            np.asarray(out["tbs"][0], dtype=np.float64),
-            np.asarray(out["charges"][0], dtype=np.float64),
+            np.asarray(out["pads"], dtype=np.float64),
+            np.asarray(out["tbs"], dtype=np.float64),
+            np.asarray(out["charges"], dtype=np.float64),
         ],
         axis=-1,
-    )[valid]
-    labels = np.asarray(out["labels"][0], dtype=np.int64)[valid]
+    )[sel]
+    labels = np.asarray(out["labels"], dtype=np.int64)[sel]
     return cloud, labels
 
 
@@ -395,6 +403,18 @@ def run_simulation(
             raise RuntimeError(
                 f"Spyral output pool overflow ({overflow} rows); raise "
                 "EngineParams.out_budget"
+            )
+        seg_overflow = int(np.asarray(out["seg_overflow"]))
+        if seg_overflow > 0:
+            raise RuntimeError(
+                f"cloud segment pool overflow ({seg_overflow} points); "
+                "raise EngineParams.cloud_cap"
+            )
+        pool_overflow = int(np.asarray(out["pool_overflow"]))
+        if pool_overflow > 0:
+            raise RuntimeError(
+                f"deposit point pool overflow ({pool_overflow} points); "
+                "raise EngineParams.point_budget"
             )
         writer.write_spyral_pool(
             spyral_pool, labels_pool, counts,

@@ -1,0 +1,171 @@
+"""Golden-semantics test for deposit_and_merge.
+
+Re-implements the reference's transport/merge semantics directly in numpy
+(dict accumulation keyed by (pad, tb), last-writer labels — mirroring
+/root/reference/src/attpc_engine/detector/transporter.py:124-318 and
+simulator.py:93-113) and checks the engine's batched merge reproduces it
+on randomized inputs.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from attpc_engine_tpu.detector.deposition import deposit_and_merge, MESH_STEPS
+from attpc_engine_tpu.detector.parameters import Config, PadParams
+from attpc_engine_tpu import nuclear_map
+
+
+@pytest.fixture(scope="module")
+def geometry():
+    from attpc_engine_tpu.nuclear import GasTarget
+    from attpc_engine_tpu.detector import DetectorParams, ElectronicsParams
+
+    gas = GasTarget([(1, 2, 2)], 300.0, nuclear_map)
+    config = Config(
+        DetectorParams(1.0, 45000.0, 2.85, 175000, gas, 0.277, 0.2, 34.0),
+        ElectronicsParams(6.25, 900, 1000, 10, 560, 40),
+        PadParams(),
+    )
+    return config
+
+
+def numpy_reference_merge(
+    positions, electrons, valid, track_labels, config,
+    diffusion, efield, dv, mm_edge, length, gain, n_events, k_tracks,
+):
+    """Straight re-implementation of the reference merge semantics."""
+    grid = config.pad_grid
+    low, high, binsize = config.pad_grid_edges
+    beam_mask = config.beam_mask
+    t_steps, b = electrons.shape
+    results = []
+    for e in range(n_events):
+        points = {}  # key -> [charge, label]
+        for k in range(k_tracks):
+            tr = e * k_tracks + k
+            label = track_labels[tr]
+            for t in range(t_steps):
+                if not valid[t, tr] or electrons[t, tr] < 1:
+                    continue
+                x, y, z = positions[t, tr]
+                tb_f = (length - z) / dv + mm_edge
+                tb_i = int(np.float32(tb_f))  # trunc toward zero
+                if not (tb_f > -1.0 and tb_i < 512):
+                    continue
+                ne = float(electrons[t, tr]) * gain
+                sigma = np.sqrt(2.0 * diffusion * dv * np.float32(tb_f) / efield)
+                if sigma > 0:
+                    mesh = np.linspace(-3.0, 3.0, MESH_STEPS, dtype=np.float32)
+                    step = 6.0 / (MESH_STEPS - 1)
+                    for ox in mesh:
+                        for oy in mesh:
+                            pxx = np.float32(x + sigma * ox)
+                            pyy = np.float32(y + sigma * oy)
+                            q = (
+                                ne
+                                * step * step / (2 * np.pi)
+                                * np.exp(-0.5 * (ox**2 + oy**2))
+                            )
+                            _deposit(points, grid, low, high, binsize,
+                                     beam_mask, pxx, pyy, tb_i, q, label)
+                else:
+                    _deposit(points, grid, low, high, binsize, beam_mask,
+                             np.float32(x), np.float32(y), tb_i, ne, label)
+        results.append(points)
+    return results
+
+
+def _deposit(points, grid, low, high, binsize, beam_mask, x, y, tb, q, label):
+    x_mm = np.floor(x * 1000.0)
+    y_mm = np.floor(y * 1000.0)
+    if not (low <= x_mm < high and low <= y_mm < high):
+        return
+    ix = int(round((x_mm - low) / binsize))
+    iy = int(round((y_mm - low) / binsize))
+    pad = int(grid[ix, iy])
+    if pad < 0 or beam_mask[pad]:
+        return
+    key = pad * 512 + tb
+    if key in points:
+        points[key][0] += q
+        points[key][1] = label
+    else:
+        points[key] = [q, label]
+
+
+def test_merge_matches_reference_semantics(geometry):
+    config = geometry
+    rng = np.random.default_rng(11)
+    n_events, k_tracks, t_steps = 3, 2, 40
+    b = n_events * k_tracks
+
+    positions = np.zeros((t_steps, b, 3), dtype=np.float32)
+    # short random walks near the plane center, inside the chamber
+    positions[0, :, 0] = rng.uniform(-0.1, 0.1, b)
+    positions[0, :, 1] = rng.uniform(-0.1, 0.1, b)
+    positions[0, :, 2] = rng.uniform(0.3, 0.7, b)
+    steps = rng.normal(0, 2e-3, (t_steps, b, 3)).astype(np.float32)
+    positions = positions[0][None] + np.cumsum(steps, axis=0)
+
+    electrons = rng.integers(0, 2000, (t_steps, b)).astype(np.int32)
+    valid = rng.uniform(size=(t_steps, b)) < 0.8
+    track_labels = np.tile(np.array([2, 3], dtype=np.int32), n_events)
+
+    dv = config.drift_velocity
+    args = dict(
+        diffusion=0.277, efield=45000.0, drift_velocity=dv,
+        micromegas_edge=10.0, length=1.0, mpgd_gain=1000.0,
+    )
+
+    out = deposit_and_merge(
+        jax.random.PRNGKey(0),
+        jnp.asarray(positions), jnp.asarray(electrons), jnp.asarray(valid),
+        jnp.asarray(track_labels),
+        jnp.asarray(config.pad_grid),
+        jnp.asarray(config.pad_grid_edges, dtype=jnp.float32),
+        jnp.asarray(config.beam_mask),
+        n_events=n_events, tracks_per_event=k_tracks,
+        point_budget=256, cloud_cap=4096,
+        **args,
+    )
+
+    expected = numpy_reference_merge(
+        positions, electrons, valid, track_labels, config,
+        args["diffusion"], args["efield"], dv, 10.0, 1.0, 1000.0,
+        n_events, k_tracks,
+    )
+
+    got = _extract_clouds(out, n_events)
+    assert int(np.asarray(out["pool_overflow"])) == 0
+    for e in range(n_events):
+        exp = expected[e]
+        assert len(got[e]) == len(exp), f"event {e}: point count mismatch"
+        for key, (q, label) in exp.items():
+            gq, glabel = got[e][key]
+            assert glabel == label, f"event {e} key {key}: label"
+            assert gq == pytest.approx(q, rel=2e-3), f"event {e} key {key}: q"
+
+
+def _extract_clouds(out, n_events):
+    """out dict -> list of {key: (charge, label)} per event, robust to the
+    per-event [E, C] or pooled layout."""
+    pads = np.asarray(out["pads"])
+    tbs = np.asarray(out["tbs"])
+    charges = np.asarray(out["charges"])
+    labels = np.asarray(out["labels"])
+    valid = np.asarray(out["cloud_valid"])
+    clouds = [dict() for _ in range(n_events)]
+    if pads.ndim == 2:  # per-event layout [E, C]
+        for e in range(n_events):
+            for c in np.nonzero(valid[e])[0]:
+                key = int(pads[e, c]) * 512 + int(tbs[e, c])
+                clouds[e][key] = (charges[e, c], int(labels[e, c]))
+    else:  # pooled layout with event ids
+        events = np.asarray(out["events"])
+        for i in np.nonzero(valid)[0]:
+            key = int(pads[i]) * 512 + int(tbs[i])
+            clouds[int(events[i])][key] = (charges[i], int(labels[i]))
+    return clouds

@@ -51,7 +51,7 @@ fast_engine = EngineParams(
     n_time_steps=2000,
     chunk_steps=250,
     point_budget=2048,
-    cloud_cap=1024,
+    cloud_cap=4096,
     events_per_batch=2,
 )
 

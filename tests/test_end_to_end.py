@@ -131,7 +131,8 @@ def test_full_chain(tmp_path):
         n_time_steps=2000,
         chunk_steps=250,
         point_budget=2048,
-        cloud_cap=1024,
+        cloud_cap=8192,
+        out_budget=8192,
         events_per_batch=4,
     )
     run_simulation(config, kine_path, writer, engine=engine, seed=11,
