@@ -190,7 +190,9 @@ def deposit_and_merge(
     py = to_flat(positions[:, :, 1])[idx]
     ptbf = to_flat(tb_f)[idx]
     ptbi = to_flat(tb_i)[idx]
-    pne = to_flat(electrons)[idx].astype(f32) * f32(mpgd_gain)
+    # gain is applied after the merge (keeps merge-time charge
+    # magnitudes small for the hierarchical f32 prefix sums)
+    pne = to_flat(electrons)[idx].astype(f32)
     pevent = event_of_flat(idx)
     plabel = jnp.tile(
         track_labels.reshape(e, k_tracks)[:, :, None], (1, 1, t_steps)
@@ -259,10 +261,34 @@ def deposit_and_merge(
     seg_i = jnp.arange(s_cap, dtype=jnp.int32)
     ends = jnp.where(seg_i < n_seg - 1, starts_next, n_real)
 
-    # per-segment charge via f64 prefix sums (exact at electron scale)
-    prefix_q = jnp.cumsum(q_s.astype(jnp.float64))
-    q_lo = jnp.where(starts > 0, prefix_q[jnp.maximum(starts - 1, 0)], 0.0)
-    qsum = (prefix_q[jnp.maximum(ends - 1, 0)] - q_lo).astype(f32)
+    # Per-segment charge via prefix-sum differences. A flat f32 prefix over
+    # ~26M gain-scaled charges loses ~2e6 absolute (ulp at the 1e13 total);
+    # a flat f64 cumsum is software-emulated on TPU and measured ~3s. Use a
+    # hierarchical prefix instead: f32 within 512-entry blocks (block sums
+    # stay < ~2^31 electrons -> ulp ~ 1 electron pre-gain) + f64 only over
+    # the m2/512 block offsets, combined in f64 only at the 2 gathered
+    # positions per segment. Gain is applied after the merge so in-block
+    # magnitudes stay small.
+    blk = 512
+    m2p = ((m2 + blk - 1) // blk) * blk
+    q_pad = jnp.concatenate([q_s, jnp.zeros((m2p - m2,), f32)]) if m2p != m2 else q_s
+    q_blocks = q_pad.reshape(-1, blk)
+    within = jnp.cumsum(q_blocks, axis=1)  # f32, inclusive
+    block_tot = within[:, -1]
+    block_off = jnp.concatenate(
+        [
+            jnp.zeros((1,), jnp.float64),
+            jnp.cumsum(block_tot.astype(jnp.float64))[:-1],
+        ]
+    )
+    within_flat = within.reshape(-1)
+
+    def prefix_at(i):  # inclusive prefix in f64
+        return block_off[i // blk] + within_flat[i]
+
+    q_lo = jnp.where(starts > 0, prefix_at(jnp.maximum(starts - 1, 0)), 0.0)
+    qsum = (prefix_at(jnp.maximum(ends - 1, 0)) - q_lo).astype(f32)
+    qsum = qsum * f32(mpgd_gain)
 
     key_seg = keys_s[starts]
     # last-writer label (reference dict-overwrite semantics): stable sort

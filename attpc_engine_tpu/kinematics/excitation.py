@@ -116,14 +116,20 @@ class ExcitationBreitWigner:
 
     def _build_table(self) -> None:
         rho = self.rho
-        # Support: x >= 0 in units of the scale (width). The pdf peaks at
-        # x ~ rho with half-width ~ 0.5 in scaled units; cover a generous
-        # window plus the low-x body in log-ish density.
-        lo = max(0.0, rho - 60.0)
-        hi = rho + 60.0
-        x = np.linspace(lo, hi, self._TABLE_SIZE)
+        # Support: x >= 0 in units of the scale (width). Near the peak the
+        # pdf is approximately Lorentzian in (x - rho) with half-width 1/2,
+        # so a tan-warped grid x = rho + 0.5 tan(theta) places points with
+        # roughly CDF-proportional density and captures the far tails
+        # (a finite linear window would clip ~0.5% of the mass and bias the
+        # sampled quantiles).
+        eps = 2e-4
+        theta = np.linspace(-np.pi / 2 + eps, np.pi / 2 - eps, self._TABLE_SIZE)
+        x = rho + 0.5 * np.tan(theta)
+        x = np.unique(np.clip(x, 0.0, None))
         pdf = 1.0 / ((x**2 - rho**2) ** 2 + rho**2)
-        cdf = np.concatenate([[0.0], np.cumsum((pdf[1:] + pdf[:-1]) * 0.5 * np.diff(x))])
+        cdf = np.concatenate(
+            [[0.0], np.cumsum((pdf[1:] + pdf[:-1]) * 0.5 * np.diff(x))]
+        )
         cdf /= cdf[-1]
         # Deduplicate flat regions so interpolation is well-posed
         keep = np.concatenate([[True], np.diff(cdf) > 0])

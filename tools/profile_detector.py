@@ -125,8 +125,8 @@ def main():
     )
     print(f"  n_points avg: {np.asarray(cloud['n_points']).mean():.0f}, "
           f"pool_overflow: {np.asarray(cloud['pool_overflow'])}, "
-          f"cloud pts avg: {np.asarray(cloud['cloud_valid'].sum(1)).mean():.0f}, "
-          f"cloud_overflow max: {np.asarray(cloud['cloud_overflow']).max()}")
+          f"cloud pts avg: {np.asarray(cloud['counts']).mean():.0f}, "
+          f"seg_overflow: {np.asarray(cloud['seg_overflow'])}")
 
     conv_jit = jax.jit(sim._convert_to_spyral)
     conv = lambda: conv_jit(cloud)
