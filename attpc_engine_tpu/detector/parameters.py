@@ -22,7 +22,7 @@ custom paths (parameters.py:255) — a bug we do not reproduce.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from importlib import resources
 from pathlib import Path
 

@@ -18,7 +18,6 @@ Pipeline inside the jitted program:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from pathlib import Path
 
 import jax

@@ -27,7 +27,7 @@ import h5py as h5
 import numpy as np
 
 from .parameters import Config
-from .response import get_response, apply_response
+from .response import get_response
 
 __all__ = ["SimulationWriter", "SpyralWriter", "convert_to_spyral"]
 

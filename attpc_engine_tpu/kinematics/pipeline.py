@@ -22,7 +22,6 @@ RNG is a JAX key; every batch is reproducible from (seed, batch_index).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from pathlib import Path
 from typing import Any, Protocol
 
