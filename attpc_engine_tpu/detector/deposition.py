@@ -71,6 +71,27 @@ def generate_electrons(
     return n.astype(jnp.int32)
 
 
+def nonzero_i32(mask: jax.Array, size: int, fill: int) -> tuple[jax.Array, jax.Array]:
+    """Static-size nonzero with pure-int32 internals.
+
+    Under x64 (enabled package-wide for the kinematics) ``jnp.nonzero``
+    computes in int64, which is software-emulated on TPU; this variant keeps
+    the cumsum and scatter in int32.
+
+    Returns (indices [size] i32 ascending, count [] i32). Overflowing
+    entries are dropped; missing slots hold ``fill``.
+    """
+    cs = jnp.cumsum(mask.astype(jnp.int32))
+    total = cs[-1]
+    pos = jnp.where(mask, cs - 1, size)  # out-of-range -> dropped
+    # NOTE: pos is NOT sorted (dropped sentinels interleave), so no
+    # indices_are_sorted/unique_indices hints here
+    out = jnp.full(size, fill, jnp.int32).at[pos].set(
+        jnp.arange(mask.shape[0], dtype=jnp.int32), mode="drop"
+    )
+    return out, total
+
+
 def _pad_lookup(
     grid_flat: jax.Array,
     grid_n: int,
@@ -178,14 +199,13 @@ def deposit_and_merge(
 
     valid_f = to_flat(valid)
     n_points = valid.transpose(1, 0).reshape(e, -1).sum(axis=1).astype(jnp.int32)
-    total_valid = valid_f.sum().astype(jnp.int32)
-    pool_overflow = jnp.maximum(total_valid - pool, 0)
 
-    (idx,) = jnp.nonzero(valid_f, size=pool, fill_value=0)
-    taken = jnp.arange(pool) < total_valid
+    idx, total_valid = nonzero_i32(valid_f, pool, fill=0)
+    pool_overflow = jnp.maximum(total_valid - pool, 0)
+    taken = jnp.arange(pool, dtype=jnp.int32) < total_valid
 
     flat_len = e * k_tracks * t_steps
-    event_of_flat = lambda i: (i // (k_tracks * t_steps)).astype(jnp.int32)
+    event_of_flat = lambda i: i // jnp.int32(k_tracks * t_steps)
     px = to_flat(positions[:, :, 0])[idx]
     py = to_flat(positions[:, :, 1])[idx]
     ptbf = to_flat(tb_f)[idx]
@@ -247,11 +267,10 @@ def deposit_and_merge(
     boundary = (
         jnp.concatenate([jnp.ones((1,), bool), keys_s[1:] != keys_s[:-1]]) & real
     )
-    n_real = real.sum().astype(jnp.int32)
-    n_seg = boundary.sum().astype(jnp.int32)
+    n_real = real.sum(dtype=jnp.int32)
 
     s_cap = e * cloud_cap
-    (starts,) = jnp.nonzero(boundary, size=s_cap, fill_value=m2 - 1)
+    starts, n_seg = nonzero_i32(boundary, s_cap, fill=m2 - 1)
     seg_taken = jnp.arange(s_cap, dtype=jnp.int32) < n_seg
     seg_overflow = jnp.maximum(n_seg - s_cap, 0)
 

@@ -238,23 +238,31 @@ class DetectorSimulator:
 
         keep = valid & (amp > float(cfg.elec_params.adc_threshold))
 
-        # compact kept rows into the output pool
+        # compact kept rows into the output pool (int32 internals: int64 is
+        # software-emulated on TPU)
+        from .deposition import nonzero_i32
+
         out_pool = e * self.engine.out_budget
-        n_keep = keep.sum().astype(jnp.int32)
-        (kidx,) = jnp.nonzero(keep, size=out_pool, fill_value=keep.shape[0] - 1)
+        kidx, n_keep = nonzero_i32(keep, out_pool, fill=0)
         taken = jnp.arange(out_pool, dtype=jnp.int32) < n_keep
         out_overflow = jnp.maximum(n_keep - out_pool, 0)
 
         ev_k = jnp.where(taken, events[kidx], e)
         z_k = z_mm[kidx]
-        # (event, z) sort key: z >= 0 so its f32 bit pattern is monotone
-        zbits = jax.lax.bitcast_convert_type(z_k.astype(jnp.float32), jnp.int32)
-        key64 = ev_k.astype(jnp.int64) * (1 << 32) + zbits.astype(jnp.int64)
-        key64 = jnp.where(taken, key64, jnp.iinfo(jnp.int64).max)
+        # (event, z) sort key packed in int32: 22 bits of quantized z
+        # (~0.24 um ordering resolution over a 1 m chamber; ties keep the
+        # stable pre-sort (event, pad, tb) order) + event in the high bits
+        z_q = jnp.clip(
+            (z_k * (float(2**22 - 1) / (cfg.det_params.length * 1000.0))),
+            0,
+            float(2**22 - 1),
+        ).astype(jnp.int32)
+        key32 = ev_k * jnp.int32(2**22) + z_q
+        key32 = jnp.where(taken, key32, jnp.iinfo(jnp.int32).max)
 
         (_, xs, ys, zs, amps, ints, pids, tbf, szs, lbls, evs) = jax.lax.sort(
             (
-                key64,
+                key32,
                 cx[kidx],
                 cy[kidx],
                 z_k,
