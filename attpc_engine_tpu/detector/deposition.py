@@ -92,28 +92,29 @@ def nonzero_i32(mask: jax.Array, size: int, fill: int) -> tuple[jax.Array, jax.A
     return out, total
 
 
-def _pad_lookup(
-    grid_flat: jax.Array,
-    grid_n: int,
-    edges: jax.Array,
+def _key_lookup(
+    key_grid_flat: jax.Array,
+    lo_mm: float,
+    n_mm: int,
     x_m: jax.Array,
     y_m: jax.Array,
 ) -> jax.Array:
-    """Pad id at (x, y) in meters; -1 if outside the plane.
+    """Pre-keyed pad lookup at (x, y) in meters.
 
     Keeps the reference's whole-mm floor quirk (transporter.py:101-120):
-    coordinates are floored to integer mm before the 0.1 mm binning.
+    coordinates are floored to integer mm, which is why a 1-mm table is
+    exactly equivalent to the reference's 0.1-mm grid. The table holds
+    pad_id * NUM_TB with beam pads and off-plane holes pre-folded to
+    KEY_SENTINEL (see Config.device_arrays).
+
+    Returns pad_id * NUM_TB, or KEY_SENTINEL for vetoed/out-of-plane hits.
     """
-    x_mm = jnp.floor(x_m * 1000.0)
-    y_mm = jnp.floor(y_m * 1000.0)
-    low, high, binsize = edges[0], edges[1], edges[2]
-    inb = (x_mm >= low) & (x_mm < high) & (y_mm >= low) & (y_mm < high)
-    ix = jnp.round((x_mm - low) / binsize).astype(jnp.int32)
-    iy = jnp.round((y_mm - low) / binsize).astype(jnp.int32)
-    ix = jnp.clip(ix, 0, grid_n - 1)
-    iy = jnp.clip(iy, 0, grid_n - 1)
-    pad = grid_flat[ix * grid_n + iy].astype(jnp.int32)
-    return jnp.where(inb, pad, -1)
+    ix = jnp.floor(x_m * 1000.0 - lo_mm).astype(jnp.int32)
+    iy = jnp.floor(y_m * 1000.0 - lo_mm).astype(jnp.int32)
+    inb = (ix >= 0) & (ix < n_mm) & (iy >= 0) & (iy < n_mm)
+    flat = jnp.clip(ix, 0, n_mm - 1) * n_mm + jnp.clip(iy, 0, n_mm - 1)
+    key = key_grid_flat[flat]
+    return jnp.where(inb, key, KEY_SENTINEL)
 
 
 @partial(
@@ -126,9 +127,9 @@ def deposit_and_merge(
     electrons: jax.Array,
     valid: jax.Array,
     track_labels: jax.Array,
-    grid: jax.Array,
-    edges: jax.Array,
-    beam_mask: jax.Array,
+    key_grid_mm: jax.Array,
+    grid_lo_mm: float,
+    grid_n_mm: int,
     diffusion: float,
     efield: float,
     drift_velocity: float,
@@ -152,7 +153,8 @@ def deposit_and_merge(
     electrons: [T, B] int32 — electrons per point (pre-gain).
     valid: [T, B] bool — real deposit points.
     track_labels: [B] int32 — nucleus index written to the labels output.
-    grid: [N, N] int16 pad lookup grid; edges: [3] f32; beam_mask: [P] bool.
+    key_grid_mm: [n_mm, n_mm] int32 pre-keyed pad lookup (pad * NUM_TB,
+        KEY_SENTINEL where vetoed/hole); grid_lo_mm/grid_n_mm: its edges.
     diffusion, efield, drift_velocity, micromegas_edge, length, mpgd_gain:
         physics scalars (reference meanings).
     point_budget: shared point pool capacity = n_events * point_budget.
@@ -177,8 +179,7 @@ def deposit_and_merge(
     e = n_events
     if e * PAD_TB >= 2**31:
         raise ValueError("n_events per deposit batch must be <= 409 (int32 keys)")
-    grid_n = grid.shape[0]
-    grid_flat = grid.reshape(-1)
+    key_grid_flat = key_grid_mm.reshape(-1)
     f32 = jnp.float32
     pool = e * point_budget
 
@@ -245,16 +246,16 @@ def deposit_and_merge(
     pix_x = jnp.where(has_diff[:, None, None], pix_x, px[:, None, None])
     pix_y = jnp.where(has_diff[:, None, None], pix_y, py[:, None, None])
 
-    pad = _pad_lookup(grid_flat, grid_n, edges, pix_x, pix_y)  # [pool, 10, 10]
-    not_beam = ~beam_mask[jnp.clip(pad, 0, beam_mask.shape[0] - 1)]
-    pix_valid = (pad >= 0) & not_beam & taken[:, None, None]
+    # one single-pass gather: pad*NUM_TB or sentinel, veto pre-folded
+    pkey = _key_lookup(key_grid_flat, grid_lo_mm, grid_n_mm, pix_x, pix_y)
+    pix_valid = (pkey != KEY_SENTINEL) & taken[:, None, None]
 
     # --- ONE stable batch-wide sort + boundary-gather merge --------------- #
     n_px = MESH_STEPS * MESH_STEPS
     m2 = pool * n_px
     gkeys = jnp.where(
         pix_valid,
-        pevent[:, None, None] * PAD_TB + pad * NUM_TB + ptbi[:, None, None],
+        pevent[:, None, None] * PAD_TB + pkey + ptbi[:, None, None],
         KEY_SENTINEL,
     ).reshape(m2)
     q2 = jnp.where(pix_valid, q_pix, 0.0).reshape(m2)

@@ -195,18 +195,39 @@ class Config:
 
     def device_arrays(self):
         """Materialize (once) the device-resident geometry/physics arrays
-        used by the jitted detector programs."""
+        used by the jitted detector programs.
+
+        The transport lookup uses ``key_grid_mm``: because positions are
+        floored to whole mm before binning (reference transporter.py:101-120),
+        only one grid cell per mm is ever addressed — so the 5600^2 int16
+        grid (62 MB, which XLA gathers by streaming the table through VMEM
+        in ~26 passes over every index) collapses to a 1-mm-resolution,
+        VMEM-resident int32 table with the pad id pre-multiplied by NUM_TB
+        and the beam-pad veto + off-plane holes pre-folded to a sentinel.
+        One single-pass gather replaces gather + beam LUT + masking.
+        """
         if self._device_cache is None:
             import jax.numpy as jnp
 
+            from ..constants import NUM_TB
             from .response import get_response
 
+            lo, hi, step = self.pad_grid_edges
+            n_mm = int(round(hi - lo))
+            mm = np.arange(n_mm)
+            src = np.round(mm / step).astype(np.int64)
+            src = np.clip(src, 0, self.pad_grid.shape[0] - 1)
+            grid_mm = self.pad_grid[np.ix_(src, src)].astype(np.int64)
+            vetoed = (grid_mm < 0) | self.beam_mask[np.clip(grid_mm, 0, None)]
+            key_grid = np.where(vetoed, np.int32(2**31 - 1), grid_mm * NUM_TB)
+
             self._device_cache = {
-                "grid": jnp.asarray(self.pad_grid),  # int16 [5600, 5600]
+                "key_grid_mm": jnp.asarray(key_grid.astype(np.int32)),
+                "grid_lo_mm": float(lo),
+                "grid_n_mm": n_mm,
                 "edges": jnp.asarray(self.pad_grid_edges, dtype=jnp.float32),
                 "centers": jnp.asarray(self.pad_centers, dtype=jnp.float32),
                 "sizes": jnp.asarray(self.pad_sizes, dtype=jnp.float32),
-                "beam_mask": jnp.asarray(self.beam_mask),
                 "response": jnp.asarray(get_response(self), dtype=jnp.float32),
             }
         return self._device_cache

@@ -176,9 +176,9 @@ class DetectorSimulator:
             electrons,
             alive,
             track_labels,
-            dev["grid"],
-            dev["edges"],
-            dev["beam_mask"],
+            dev["key_grid_mm"],
+            grid_lo_mm=dev["grid_lo_mm"],
+            grid_n_mm=dev["grid_n_mm"],
             diffusion=cfg.det_params.diffusion,
             efield=cfg.det_params.efield,
             drift_velocity=cfg.drift_velocity,

@@ -120,13 +120,14 @@ def test_merge_matches_reference_semantics(geometry):
         micromegas_edge=10.0, length=1.0, mpgd_gain=1000.0,
     )
 
+    dev = config.device_arrays()
     out = deposit_and_merge(
         jax.random.PRNGKey(0),
         jnp.asarray(positions), jnp.asarray(electrons), jnp.asarray(valid),
         jnp.asarray(track_labels),
-        jnp.asarray(config.pad_grid),
-        jnp.asarray(config.pad_grid_edges, dtype=jnp.float32),
-        jnp.asarray(config.beam_mask),
+        dev["key_grid_mm"],
+        grid_lo_mm=dev["grid_lo_mm"],
+        grid_n_mm=dev["grid_n_mm"],
         n_events=n_events, tracks_per_event=k_tracks,
         point_budget=256, cloud_cap=4096,
         **args,
