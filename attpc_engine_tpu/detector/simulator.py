@@ -216,11 +216,6 @@ class DetectorSimulator:
         events = cloud["events"]
         e = cloud["counts"].shape[0]
 
-        pad_safe = jnp.clip(pads, 0, dev["centers"].shape[0] - 1)
-        cx = dev["centers"][pad_safe, 0]
-        cy = dev["centers"][pad_safe, 1]
-        size = dev["sizes"][pad_safe]
-
         win = float(cfg.elec_params.windows_edge)
         mm = float(cfg.elec_params.micromegas_edge)
         z_mm = (win - tbs) / (win - mm) * cfg.det_params.length * 1000.0
@@ -260,26 +255,33 @@ class DetectorSimulator:
         key32 = ev_k * jnp.int32(2**22) + z_q
         key32 = jnp.where(taken, key32, jnp.iinfo(jnp.int32).max)
 
-        (_, xs, ys, zs, amps, ints, pids, tbf, szs, lbls, evs) = jax.lax.sort(
+        # carry only what can't be recomputed: z comes back from tb, the
+        # event from the key, and x/y/size from single-pass gathers into
+        # the small (VMEM-resident) pad tables after the sort
+        (keys_o, amps, ints, pids, tbf, lbls) = jax.lax.sort(
             (
                 key32,
-                cx[kidx],
-                cy[kidx],
-                z_k,
                 amp[kidx],
                 integral[kidx],
-                pads[kidx].astype(jnp.float32),
+                pads[kidx],
                 tbs[kidx],
-                size[kidx],
                 labels[kidx],
-                ev_k,
             ),
             dimension=0,
             is_stable=True,
             num_keys=1,
         )
+        evs = keys_o // jnp.int32(2**22)
+        zs = (win - tbf) / (win - mm) * (cfg.det_params.length * 1000.0)
+        pid_safe = jnp.clip(pids, 0, dev["centers"].shape[0] - 1)
+        xs = dev["centers"][pid_safe, 0]
+        ys = dev["centers"][pid_safe, 1]
+        szs = dev["sizes"][pid_safe]
+
         ok = jnp.arange(out_pool, dtype=jnp.int32) < n_keep
-        spyral_pool = jnp.stack([xs, ys, zs, amps, ints, pids, tbf, szs], axis=-1)
+        spyral_pool = jnp.stack(
+            [xs, ys, zs, amps, ints, pids.astype(jnp.float32), tbf, szs], axis=-1
+        )
         spyral_pool = jnp.where(ok[:, None], spyral_pool, 0.0)
         labels_pool = jnp.where(ok, lbls, -1)
 
