@@ -98,7 +98,7 @@ def main():
     dep = lambda: (
         deposit_and_merge(
             key, positions, electrons, alive, labels,
-            dev["grid"], dev["edges"], dev["beam_mask"],
+            dev["key_grid_mm"], grid_lo_mm=dev["grid_lo_mm"], grid_n_mm=dev["grid_n_mm"],
             diffusion=cfg.det_params.diffusion,
             efield=cfg.det_params.efield,
             drift_velocity=cfg.drift_velocity,
@@ -113,7 +113,7 @@ def main():
 
     cloud = deposit_and_merge(
         key, positions, electrons, alive, labels,
-        dev["grid"], dev["edges"], dev["beam_mask"],
+        dev["key_grid_mm"], grid_lo_mm=dev["grid_lo_mm"], grid_n_mm=dev["grid_n_mm"],
         diffusion=cfg.det_params.diffusion,
         efield=cfg.det_params.efield,
         drift_velocity=cfg.drift_velocity,
