@@ -64,7 +64,7 @@ class EngineParams:
     chunk_steps: int = 500
     point_budget: int = 1024
     cloud_cap: int = 12288
-    out_budget: int = 6144
+    out_budget: int = 8192
     events_per_batch: int = 256
 
 
