@@ -232,45 +232,41 @@ class DetectorSimulator:
         integral = jnp.where(q > 0, integral, 0.0)
 
         keep = valid & (amp > float(cfg.elec_params.adc_threshold))
-
-        # compact kept rows into the output pool (int32 internals: int64 is
-        # software-emulated on TPU)
-        from .deposition import nonzero_i32
-
+        n_keep = keep.sum(dtype=jnp.int32)
         out_pool = e * self.engine.out_budget
-        kidx, n_keep = nonzero_i32(keep, out_pool, fill=0)
-        taken = jnp.arange(out_pool, dtype=jnp.int32) < n_keep
         out_overflow = jnp.maximum(n_keep - out_pool, 0)
 
-        ev_k = jnp.where(taken, events[kidx], e)
-        z_k = z_mm[kidx]
-        # (event, z) sort key packed in int32: 22 bits of quantized z
-        # (~0.24 um ordering resolution over a 1 m chamber; ties keep the
-        # stable pre-sort (event, pad, tb) order) + event in the high bits
+        # ONE sort over the full pool both compacts and orders: dropped rows
+        # get the max key so the kept rows come out leading AND
+        # (event, z)-sorted; the output pool is then just a slice — no
+        # nonzero pass, no permutation gathers. The int32 key packs the
+        # event above 22 bits of quantized z (~0.24 um ordering resolution
+        # over a 1 m chamber; ties keep the stable pre-sort (event, pad, tb)
+        # order).
         z_q = jnp.clip(
-            (z_k * (float(2**22 - 1) / (cfg.det_params.length * 1000.0))),
+            (z_mm * (float(2**22 - 1) / (cfg.det_params.length * 1000.0))),
             0,
             float(2**22 - 1),
         ).astype(jnp.int32)
-        key32 = ev_k * jnp.int32(2**22) + z_q
-        key32 = jnp.where(taken, key32, jnp.iinfo(jnp.int32).max)
+        key32 = jnp.where(
+            keep, events * jnp.int32(2**22) + z_q, jnp.iinfo(jnp.int32).max
+        )
 
         # carry only what can't be recomputed: z comes back from tb, the
         # event from the key, and x/y/size from single-pass gathers into
         # the small (VMEM-resident) pad tables after the sort
         (keys_o, amps, ints, pids, tbf, lbls) = jax.lax.sort(
-            (
-                key32,
-                amp[kidx],
-                integral[kidx],
-                pads[kidx],
-                tbs[kidx],
-                labels[kidx],
-            ),
+            (key32, amp, integral, pads, tbs, labels),
             dimension=0,
             is_stable=True,
             num_keys=1,
         )
+        keys_o = keys_o[:out_pool]
+        amps = amps[:out_pool]
+        ints = ints[:out_pool]
+        pids = pids[:out_pool]
+        tbf = tbf[:out_pool]
+        lbls = lbls[:out_pool]
         evs = keys_o // jnp.int32(2**22)
         zs = (win - tbf) / (win - mm) * (cfg.det_params.length * 1000.0)
         pid_safe = jnp.clip(pids, 0, dev["centers"].shape[0] - 1)
