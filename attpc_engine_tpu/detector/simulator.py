@@ -233,7 +233,8 @@ class DetectorSimulator:
 
         keep = valid & (amp > float(cfg.elec_params.adc_threshold))
         n_keep = keep.sum(dtype=jnp.int32)
-        out_pool = e * self.engine.out_budget
+        # kept rows can never exceed the cloud pool size
+        out_pool = min(e * self.engine.out_budget, keep.shape[0])
         out_overflow = jnp.maximum(n_keep - out_pool, 0)
 
         # ONE sort over the full pool both compacts and orders: dropped rows
