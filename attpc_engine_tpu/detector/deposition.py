@@ -238,8 +238,11 @@ def deposit_and_merge(
     pdf_area = (step * step / (2.0 * jnp.pi)) * jnp.exp(
         -0.5 * (off_x**2 + off_y**2)
     )  # [10, 10], sigma-independent
+    q_pix = pne[:, None, None] * pdf_area
     # sigma == 0 (diffusion disabled) -> point transport: all electrons on
     # the point itself through pixel slot (0, 0) (transporter.py:124-169)
+    q_point = jnp.zeros((MESH_STEPS, MESH_STEPS), dtype=f32).at[0, 0].set(1.0)
+    q_pix = jnp.where(has_diff[:, None, None], q_pix, pne[:, None, None] * q_point)
     pix_x = jnp.where(has_diff[:, None, None], pix_x, px[:, None, None])
     pix_y = jnp.where(has_diff[:, None, None], pix_y, py[:, None, None])
 
@@ -247,7 +250,7 @@ def deposit_and_merge(
     pkey = _key_lookup(key_grid_flat, grid_lo_mm, grid_n_mm, pix_x, pix_y)
     pix_valid = (pkey != KEY_SENTINEL) & taken[:, None, None]
 
-    # --- ONE stable batch-wide 2-operand sort + boundary-gather merge ----- #
+    # --- ONE stable batch-wide sort + boundary-gather merge --------------- #
     n_px = MESH_STEPS * MESH_STEPS
     m2 = pool * n_px
     gkeys = jnp.where(
@@ -255,21 +258,15 @@ def deposit_and_merge(
         pevent[:, None, None] * PAD_TB + pkey + ptbi[:, None, None],
         KEY_SENTINEL,
     ).reshape(m2)
+    q2 = jnp.where(pix_valid, q_pix, 0.0).reshape(m2)
     entry_idx = jnp.arange(m2, dtype=jnp.int32)
-    keys_s, perm = jax.lax.sort(
-        (gkeys, entry_idx), dimension=0, is_stable=True, num_keys=1
+    # q rides the sort: both a post-hoc permutation gather (779 ms) and a
+    # post-sort recompute through perm-indexed small tables (+600 ms) were
+    # measured slower than the extra sort operand
+    keys_s, q_s, perm = jax.lax.sort(
+        (gkeys, q2, entry_idx), dimension=0, is_stable=True, num_keys=1
     )
     real = keys_s != KEY_SENTINEL
-    # per-entry charge is NOT carried through the sort nor permutation-
-    # gathered from a large table (both measured expensive): it is
-    # recomputed from the permutation via small VMEM-resident tables —
-    # pne/has_diff are [pool] (~1 MB), the pdf grid is [100]
-    p_of = perm // jnp.int32(n_px)
-    slot = perm - p_of * jnp.int32(n_px)
-    pdf_flat = pdf_area.reshape(-1).astype(f32)
-    q_diff = pne[p_of] * pdf_flat[slot]
-    q_pt = jnp.where(slot == 0, pne[p_of], 0.0)
-    q_s = jnp.where(real, jnp.where(has_diff[p_of], q_diff, q_pt), 0.0)
     boundary = (
         jnp.concatenate([jnp.ones((1,), bool), keys_s[1:] != keys_s[:-1]]) & real
     )
