@@ -190,12 +190,40 @@ class DetectorSimulator:
             point_budget=eng.point_budget,
             cloud_cap=eng.cloud_cap,
         )
-        spyral, labels, counts, out_overflow = self._convert_to_spyral(cloud)
-        cloud["spyral"] = spyral  # [E * out_budget, 8] pooled, event-ordered
-        cloud["spyral_labels"] = labels
+        packed_f32, packed_i16, counts, out_overflow = self._convert_to_spyral(cloud)
+        cloud["packed_f32"] = packed_f32  # [E*out_budget, 3] amp, integral, tb
+        cloud["packed_i16"] = packed_i16  # [E*out_budget, 2] pad, label
         cloud["spyral_counts"] = counts
         cloud["spyral_overflow"] = out_overflow
         return cloud
+
+    def assemble_spyral(
+        self, packed_f32: np.ndarray, packed_i16: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Host-side assembly of the Spyral 8 columns from the packed
+        device output (f64, matching the reference's writer math —
+        writer.py:97-111): x/y from pad centers, z from tb, size from the
+        pad table.
+
+        Returns (spyral [n, 8] f64, labels [n] i64)."""
+        cfg = self.config
+        pads = packed_i16[:, 0].astype(np.int64)
+        labels = packed_i16[:, 1].astype(np.int64)
+        amp = packed_f32[:, 0].astype(np.float64)
+        integral = packed_f32[:, 1].astype(np.float64)
+        tbs = packed_f32[:, 2].astype(np.float64)
+        win = float(cfg.elec_params.windows_edge)
+        mm = float(cfg.elec_params.micromegas_edge)
+        out = np.empty((len(pads), 8), dtype=np.float64)
+        out[:, 0] = cfg.pad_centers[pads, 0]
+        out[:, 1] = cfg.pad_centers[pads, 1]
+        out[:, 2] = (win - tbs) / (win - mm) * cfg.det_params.length * 1000.0
+        out[:, 3] = amp
+        out[:, 4] = integral
+        out[:, 5] = pads
+        out[:, 6] = tbs
+        out[:, 7] = cfg.pad_sizes[pads]
+        return out, labels
 
     def _convert_to_spyral(self, cloud):
         """Batched Spyral 8-column conversion + ADC threshold + z-sort
@@ -253,9 +281,11 @@ class DetectorSimulator:
             keep, events * jnp.int32(2**22) + z_q, jnp.iinfo(jnp.int32).max
         )
 
-        # carry only what can't be recomputed: z comes back from tb, the
-        # event from the key, and x/y/size from single-pass gathers into
-        # the small (VMEM-resident) pad tables after the sort
+        # carry only what can't be recomputed on the host: the device->host
+        # tunnel measures ~20 MB/s, so x/y/z/size (all derivable from pad id
+        # and tb with host tables) are NOT produced or shipped — output is
+        # a packed f32[P,3] (amp, integral, tb) + i16[P,2] (pad, label),
+        # 15 bytes/row instead of 36
         (keys_o, amps, ints, pids, tbf, lbls) = jax.lax.sort(
             (key32, amp, integral, pads, tbs, labels),
             dimension=0,
@@ -263,34 +293,32 @@ class DetectorSimulator:
             num_keys=1,
         )
         keys_o = keys_o[:out_pool]
-        amps = amps[:out_pool]
-        ints = ints[:out_pool]
-        pids = pids[:out_pool]
-        tbf = tbf[:out_pool]
-        lbls = lbls[:out_pool]
         evs = keys_o // jnp.int32(2**22)
-        zs = (win - tbf) / (win - mm) * (cfg.det_params.length * 1000.0)
-        pid_safe = jnp.clip(pids, 0, dev["centers"].shape[0] - 1)
-        xs = dev["centers"][pid_safe, 0]
-        ys = dev["centers"][pid_safe, 1]
-        szs = dev["sizes"][pid_safe]
 
         ok = jnp.arange(out_pool, dtype=jnp.int32) < n_keep
-        spyral_pool = jnp.stack(
-            [xs, ys, zs, amps, ints, pids.astype(jnp.float32), tbf, szs], axis=-1
+        packed_f32 = jnp.stack(
+            [amps[:out_pool], ints[:out_pool], tbf[:out_pool]], axis=-1
         )
-        spyral_pool = jnp.where(ok[:, None], spyral_pool, 0.0)
-        labels_pool = jnp.where(ok, lbls, -1)
+        packed_f32 = jnp.where(ok[:, None], packed_f32, 0.0)
+        packed_i16 = jnp.stack(
+            [
+                jnp.where(ok, pids[:out_pool], 0).astype(jnp.int16),
+                jnp.where(ok, lbls[:out_pool], -1).astype(jnp.int16),
+            ],
+            axis=-1,
+        )
 
         # per-event kept counts from the sorted event column
         ev_range = jnp.arange(e + 1, dtype=jnp.int32)
         bounds = jnp.searchsorted(evs, ev_range, side="left")
         counts = (bounds[1:] - bounds[:-1]).astype(jnp.int32)
-        return spyral_pool, labels_pool, counts, out_overflow
+        return packed_f32, packed_i16, counts, out_overflow
 
     # ------------------------------------------------------------------ #
 
-    def simulate_batch(self, key, vertices: np.ndarray, momenta: np.ndarray):
+    def simulate_batch(
+        self, key, vertices: np.ndarray, momenta: np.ndarray, assemble: bool = True
+    ):
         """Simulate a batch of events.
 
         Parameters
@@ -301,19 +329,32 @@ class DetectorSimulator:
 
         Returns
         -------
-        dict with device arrays: ``spyral`` [E * out_budget, 8] — the
-        z-sorted, ADC-thresholded rows of all events pooled in event order
-        (slice event i as rows [cumsum(counts)[i-1] : cumsum(counts)[i]]);
-        ``spyral_labels`` likewise; ``spyral_counts`` [E]; plus the raw
-        merged cloud arrays and overflow counters.
+        dict with device arrays: ``packed_f32`` [E*out_budget, 3]
+        (amp, integral, tb) and ``packed_i16`` [E*out_budget, 2]
+        (pad, label) — the z-sorted, ADC-thresholded rows of all events
+        pooled in event order (slice event i as rows
+        [cumsum(counts)[i-1] : cumsum(counts)[i]]); ``spyral_counts`` [E];
+        the raw merged cloud arrays and overflow counters; and, when
+        ``assemble`` is True (default), host-assembled ``spyral``
+        [total, 8] float64 and ``spyral_labels`` [total] int64 covering
+        exactly the kept rows.
         """
         e = len(vertices)
         # initial gamma*beta = p / m (reference solver.py:273), f64 on host
         p3 = momenta[:, self.sim_indices, :3]  # [E, K, 3]
         gvs = (p3 / self.track_masses[None, :, None]).astype(np.float32)
-        return self._sim_jit(
+        out = self._sim_jit(
             key, jnp.asarray(vertices, dtype=jnp.float32), jnp.asarray(gvs), e
         )
+        if assemble:
+            total = int(np.asarray(out["spyral_counts"]).sum())
+            spyral, labels = self.assemble_spyral(
+                np.asarray(out["packed_f32"][:total]),
+                np.asarray(out["packed_i16"][:total]),
+            )
+            out["spyral"] = spyral
+            out["spyral_labels"] = labels
+        return out
 
 
 def simulate(
@@ -402,8 +443,10 @@ def run_simulation(
         out, start, n = pending
         counts = np.asarray(out["spyral_counts"][:n])
         total = int(counts.sum())
-        spyral_pool = np.asarray(out["spyral"][:total], dtype=np.float64)
-        labels_pool = np.asarray(out["spyral_labels"][:total], dtype=np.int64)
+        spyral_pool, labels_pool = sim.assemble_spyral(
+            np.asarray(out["packed_f32"][:total]),
+            np.asarray(out["packed_i16"][:total]),
+        )
         overflow = int(np.asarray(out["spyral_overflow"]))
         if overflow > 0:
             raise RuntimeError(
@@ -445,7 +488,7 @@ def run_simulation(
                     [momenta, np.zeros((pad_n,) + momenta.shape[1:])]
                 )
             key = jax.random.fold_in(base_key, start)
-            out = sim.simulate_batch(key, vertices, momenta)
+            out = sim.simulate_batch(key, vertices, momenta, assemble=False)
             if pending is not None:
                 write_out(pending)
             pending = (out, start, n)

@@ -63,14 +63,16 @@ def test_sharded_matches_single_device():
     c_single = np.asarray(out_single["spyral_counts"])
     c_sharded = np.asarray(out_sharded["spyral_counts"])
     np.testing.assert_array_equal(c_single, c_sharded)
-    s_single = np.asarray(out_single["spyral"])
-    s_sharded = np.asarray(out_sharded["spyral"])
+    pads_s = np.asarray(out_single["packed_i16"][:, 0])
+    pads_h = np.asarray(out_sharded["packed_i16"][:, 0])
+    int_s = np.asarray(out_single["packed_f32"][:, 1])
+    int_h = np.asarray(out_sharded["packed_f32"][:, 1])
     offsets = np.concatenate([[0], np.cumsum(c_single)])
     for e in range(8):
         lo, hi = offsets[e], offsets[e + 1]
         np.testing.assert_array_equal(
-            np.sort(s_single[lo:hi, 5]), np.sort(s_sharded[lo:hi, 5])
+            np.sort(pads_s[lo:hi]), np.sort(pads_h[lo:hi])
         )  # same pads
         np.testing.assert_allclose(
-            s_single[lo:hi, 4].sum(), s_sharded[lo:hi, 4].sum(), rtol=1e-3
+            int_s[lo:hi].sum(), int_h[lo:hi].sum(), rtol=1e-3
         )  # same total integral
