@@ -195,6 +195,16 @@ class DetectorSimulator:
         cloud["packed_i16"] = packed_i16  # [E*out_budget, 2] pad, label
         cloud["spyral_counts"] = counts
         cloud["spyral_overflow"] = out_overflow
+        # one small array for everything the host polls per batch (the
+        # tunnel costs ~30ms per round trip)
+        cloud["meta_i32"] = jnp.concatenate(
+            [
+                counts,
+                jnp.stack(
+                    [out_overflow, cloud["seg_overflow"], cloud["pool_overflow"]]
+                ),
+            ]
+        )
         return cloud
 
     def assemble_spyral(
@@ -441,30 +451,29 @@ def run_simulation(
 
     def write_out(pending):
         out, start, n = pending
-        counts = np.asarray(out["spyral_counts"][:n])
-        total = int(counts.sum())
-        spyral_pool, labels_pool = sim.assemble_spyral(
-            np.asarray(out["packed_f32"][:total]),
-            np.asarray(out["packed_i16"][:total]),
-        )
-        overflow = int(np.asarray(out["spyral_overflow"]))
-        if overflow > 0:
+        meta = np.asarray(out["meta_i32"])  # counts[E] + 3 overflow flags
+        counts = meta[:n]
+        out_overflow, seg_overflow, pool_overflow = meta[-3:]
+        if out_overflow > 0:
             raise RuntimeError(
-                f"Spyral output pool overflow ({overflow} rows); raise "
+                f"Spyral output pool overflow ({out_overflow} rows); raise "
                 "EngineParams.out_budget"
             )
-        seg_overflow = int(np.asarray(out["seg_overflow"]))
         if seg_overflow > 0:
             raise RuntimeError(
                 f"cloud segment pool overflow ({seg_overflow} points); "
                 "raise EngineParams.cloud_cap"
             )
-        pool_overflow = int(np.asarray(out["pool_overflow"]))
         if pool_overflow > 0:
             raise RuntimeError(
                 f"deposit point pool overflow ({pool_overflow} points); "
                 "raise EngineParams.point_budget"
             )
+        total = int(counts.sum())
+        spyral_pool, labels_pool = sim.assemble_spyral(
+            np.asarray(out["packed_f32"][:total]),
+            np.asarray(out["packed_i16"][:total]),
+        )
         writer.write_spyral_pool(
             spyral_pool, labels_pool, counts,
             event_numbers=np.arange(start, start + n),
