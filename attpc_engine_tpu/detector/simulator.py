@@ -469,25 +469,67 @@ def run_simulation(
                 f"deposit point pool overflow ({pool_overflow} points); "
                 "raise EngineParams.point_budget"
             )
-        total = int(counts.sum())
-        spyral_pool, labels_pool = sim.assemble_spyral(
-            np.asarray(out["packed_f32"][:total]),
-            np.asarray(out["packed_i16"][:total]),
-        )
-        writer.write_spyral_pool(
-            spyral_pool, labels_pool, counts,
-            event_numbers=np.arange(start, start + n),
-        )
+        if hasattr(writer, "write_spyral_pool"):
+            total = int(counts.sum())
+            spyral_pool, labels_pool = sim.assemble_spyral(
+                np.asarray(out["packed_f32"][:total]),
+                np.asarray(out["packed_i16"][:total]),
+            )
+            writer.write_spyral_pool(
+                spyral_pool, labels_pool, counts,
+                event_numbers=np.arange(start, start + n),
+            )
+        else:
+            # reference SimulationWriter protocol: hand each event its raw
+            # [N, 3] = [pad, tb, electrons] cloud (writer.py:26-44)
+            cl_counts = np.asarray(out["counts"][:n])
+            cl_total = int(cl_counts.sum())
+            raw = np.stack(
+                [
+                    np.asarray(out["pads"][:cl_total], dtype=np.float64),
+                    np.asarray(out["tbs"][:cl_total], dtype=np.float64),
+                    np.asarray(out["charges"][:cl_total], dtype=np.float64),
+                ],
+                axis=-1,
+            )
+            labels_all = np.asarray(out["labels"][:cl_total], dtype=np.int64)
+            offsets = np.concatenate([[0], np.cumsum(cl_counts)])
+            for i in range(n):
+                lo, hi = int(offsets[i]), int(offsets[i + 1])
+                if hi == lo:
+                    continue
+                writer.write(raw[lo:hi], labels_all[lo:hi], config, start + i)
         if progress is not None:
             progress.update(n)
 
-    # double buffering: the device computes batch k+1 while the host pulls
-    # and writes batch k (jax dispatch is async; np.asarray syncs only the
-    # batch being written)
-    pending = None
+    # Pipelining: the main thread reads input and dispatches device batches;
+    # a writer thread pulls results over the (slow) device->host link and
+    # writes HDF5, overlapping with the next batch's compute. A bounded
+    # queue applies backpressure so at most 2 batches are in flight.
+    import queue
+    import threading
+
+    work_q: "queue.Queue" = queue.Queue(maxsize=2)
+    write_error: list[BaseException] = []
+
+    def writer_loop():
+        while True:
+            item = work_q.get()
+            if item is None:
+                return
+            try:
+                write_out(item)
+            except BaseException as err:  # propagate to the main thread
+                write_error.append(err)
+                return
+
+    thread = threading.Thread(target=writer_loop, daemon=True)
+    thread.start()
     stop = reader.n_events if stop_event is None else min(stop_event, reader.n_events)
     try:
         for start in range(start_event, stop, eb):
+            if write_error:
+                raise write_error[0]
             vertices, momenta = reader.read_range(start, min(start + eb, stop))
             n = len(vertices)
             if n < eb:  # pad the tail batch to avoid a recompile
@@ -498,12 +540,18 @@ def run_simulation(
                 )
             key = jax.random.fold_in(base_key, start)
             out = sim.simulate_batch(key, vertices, momenta, assemble=False)
-            if pending is not None:
-                write_out(pending)
-            pending = (out, start, n)
-        if pending is not None:
-            write_out(pending)
+            work_q.put((out, start, n))
+        work_q.put(None)
+        thread.join()
+        if write_error:
+            raise write_error[0]
     finally:
+        if thread.is_alive():
+            try:
+                work_q.put_nowait(None)
+            except queue.Full:
+                pass
+            thread.join(timeout=60)
         writer.close()
         reader.close()
         if progress is not None:
