@@ -1,0 +1,81 @@
+"""A custom writer implementing only the reference SimulationWriter
+protocol must work with run_simulation (protocol parity)."""
+
+from pathlib import Path
+
+import numpy as np
+
+from attpc_engine_tpu import nuclear_map
+from attpc_engine_tpu.nuclear import GasTarget
+from attpc_engine_tpu.kinematics import (
+    KinematicsPipeline,
+    ExcitationGaussian,
+    PolarUniform,
+    Reaction,
+    run_kinematics_pipeline,
+)
+from attpc_engine_tpu.detector import (
+    Config,
+    DetectorParams,
+    ElectronicsParams,
+    PadParams,
+    EngineParams,
+    run_simulation,
+)
+
+gas = GasTarget([(1, 2, 2)], 300.0, nuclear_map)
+
+
+class RecordingWriter:
+    """Reference-protocol writer: write(data, labels, config, event_number)."""
+
+    def __init__(self):
+        self.events = {}
+
+    def write(self, data, labels, config, event_number):
+        assert data.shape[1] == 3
+        assert len(labels) == len(data)
+        self.events[event_number] = (data.copy(), labels.copy())
+
+    def get_directory_name(self) -> Path:
+        return Path(".")
+
+    def close(self):
+        self.closed = True
+
+
+def test_reference_protocol_writer(tmp_path):
+    pipeline = KinematicsPipeline(
+        [
+            Reaction(
+                target=nuclear_map.get_data(1, 2),
+                projectile=nuclear_map.get_data(6, 12),
+                ejectile=nuclear_map.get_data(1, 1),
+            )
+        ],
+        [ExcitationGaussian(0.0, 0.0)],
+        [PolarUniform(0.0, np.pi)],
+        120.0,
+    )
+    kine = tmp_path / "k.h5"
+    run_kinematics_pipeline(pipeline, 8, kine, batch_size=8, seed=21,
+                            show_progress=False)
+    config = Config(
+        DetectorParams(1.0, 45000.0, 2.85, 175000, gas, 0.277, 0.2, 34.0),
+        ElectronicsParams(6.25, 900, 1000, 10, 560, 40),
+        PadParams(),
+    )
+    writer = RecordingWriter()
+    engine = EngineParams(
+        n_time_steps=1000, chunk_steps=250, point_budget=2048,
+        cloud_cap=8192, out_budget=8192, events_per_batch=4,
+    )
+    run_simulation(config, kine, writer, engine=engine, seed=5,
+                   show_progress=False)
+    assert writer.closed
+    assert len(writer.events) >= 4
+    data, labels = next(iter(writer.events.values()))
+    assert np.all((data[:, 0] >= 0) & (data[:, 0] < 10240))  # pads
+    assert np.all((data[:, 1] >= 0) & (data[:, 1] < 512))  # tbs
+    assert np.all(data[:, 2] > 0)  # electrons
+    assert set(labels.tolist()) <= {2, 3}
