@@ -425,6 +425,9 @@ def run_simulation(
     """
     from ..io.kinematics_file import KinematicsReader
 
+    from ..utils.profiling import PhaseTimes, phase_timer
+
+    times = PhaseTimes()
     engine = engine or EngineParams()
     reader = KinematicsReader(input_path)
     sim = DetectorSimulator(
@@ -451,7 +454,8 @@ def run_simulation(
 
     def write_out(pending):
         out, start, n = pending
-        meta = np.asarray(out["meta_i32"])  # counts[E] + 3 overflow flags
+        with phase_timer(times, "pull-meta"):
+            meta = np.asarray(out["meta_i32"])  # counts[E] + 3 overflow flags
         counts = meta[:n]
         out_overflow, seg_overflow, pool_overflow = meta[-3:]
         if out_overflow > 0:
@@ -471,14 +475,16 @@ def run_simulation(
             )
         if hasattr(writer, "write_spyral_pool"):
             total = int(counts.sum())
-            spyral_pool, labels_pool = sim.assemble_spyral(
-                np.asarray(out["packed_f32"][:total]),
-                np.asarray(out["packed_i16"][:total]),
-            )
-            writer.write_spyral_pool(
-                spyral_pool, labels_pool, counts,
-                event_numbers=np.arange(start, start + n),
-            )
+            with phase_timer(times, "pull-packed"):
+                pf = np.asarray(out["packed_f32"][:total])
+                pi = np.asarray(out["packed_i16"][:total])
+            with phase_timer(times, "assemble"):
+                spyral_pool, labels_pool = sim.assemble_spyral(pf, pi)
+            with phase_timer(times, "h5py-write"):
+                writer.write_spyral_pool(
+                    spyral_pool, labels_pool, counts,
+                    event_numbers=np.arange(start, start + n),
+                )
         else:
             # reference SimulationWriter protocol: hand each event its raw
             # [N, 3] = [pad, tb, electrons] cloud (writer.py:26-44)
@@ -526,11 +532,15 @@ def run_simulation(
     thread = threading.Thread(target=writer_loop, daemon=True)
     thread.start()
     stop = reader.n_events if stop_event is None else min(stop_event, reader.n_events)
+    import os
+
+    timing = os.environ.get("ATTPC_TPU_TIMING")
     try:
         for start in range(start_event, stop, eb):
             if write_error:
                 raise write_error[0]
-            vertices, momenta = reader.read_range(start, min(start + eb, stop))
+            with phase_timer(times, "read"):
+                vertices, momenta = reader.read_range(start, min(start + eb, stop))
             n = len(vertices)
             if n < eb:  # pad the tail batch to avoid a recompile
                 pad_n = eb - n
@@ -539,12 +549,18 @@ def run_simulation(
                     [momenta, np.zeros((pad_n,) + momenta.shape[1:])]
                 )
             key = jax.random.fold_in(base_key, start)
-            out = sim.simulate_batch(key, vertices, momenta, assemble=False)
-            work_q.put((out, start, n))
+            with phase_timer(times, "dispatch"):
+                out = sim.simulate_batch(key, vertices, momenta, assemble=False)
+            with phase_timer(times, "enqueue(backpressure)"):
+                work_q.put((out, start, n))
         work_q.put(None)
         thread.join()
         if write_error:
             raise write_error[0]
+        if timing:
+            import sys
+
+            print(f"[run_simulation] {times.summary()}", file=sys.stderr)
     finally:
         if thread.is_alive():
             try:
