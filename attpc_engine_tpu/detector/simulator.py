@@ -452,8 +452,12 @@ def run_simulation(
 
     eb = engine.events_per_batch
 
-    def write_out(pending):
-        out, start, n = pending
+    def pull_batch(out, n):
+        """Pull one batch's results (device sync + tunnel transfer).
+
+        Strictly ordered BEFORE the next dispatch: the device link is FIFO,
+        so a pull issued after the next batch's dispatch waits behind that
+        batch's entire computation (measured 3x slowdown)."""
         with phase_timer(times, "pull-meta"):
             meta = np.asarray(out["meta_i32"])  # counts[E] + 3 overflow flags
         counts = meta[:n]
@@ -478,16 +482,9 @@ def run_simulation(
             with phase_timer(times, "pull-packed"):
                 pf = np.asarray(out["packed_f32"][:total])
                 pi = np.asarray(out["packed_i16"][:total])
-            with phase_timer(times, "assemble"):
-                spyral_pool, labels_pool = sim.assemble_spyral(pf, pi)
-            with phase_timer(times, "h5py-write"):
-                writer.write_spyral_pool(
-                    spyral_pool, labels_pool, counts,
-                    event_numbers=np.arange(start, start + n),
-                )
-        else:
-            # reference SimulationWriter protocol: hand each event its raw
-            # [N, 3] = [pad, tb, electrons] cloud (writer.py:26-44)
+            return counts, pf, pi, None
+        # reference SimulationWriter protocol path: pull the raw cloud
+        with phase_timer(times, "pull-cloud"):
             cl_counts = np.asarray(out["counts"][:n])
             cl_total = int(cl_counts.sum())
             raw = np.stack(
@@ -499,6 +496,24 @@ def run_simulation(
                 axis=-1,
             )
             labels_all = np.asarray(out["labels"][:cl_total], dtype=np.int64)
+        return counts, None, None, (raw, labels_all, cl_counts)
+
+    def write_out(pending):
+        """Assemble (host numpy) + write one batch; runs on the writer
+        thread, overlapping the next batch's device work."""
+        counts, pf, pi, cloud_np, start, n = pending
+        if cloud_np is None:
+            with phase_timer(times, "assemble"):
+                spyral_pool, labels_pool = sim.assemble_spyral(pf, pi)
+            with phase_timer(times, "h5py-write"):
+                writer.write_spyral_pool(
+                    spyral_pool, labels_pool, counts,
+                    event_numbers=np.arange(start, start + n),
+                )
+        else:
+            # reference SimulationWriter protocol: hand each event its raw
+            # [N, 3] = [pad, tb, electrons] cloud (writer.py:26-44)
+            raw, labels_all, cl_counts = cloud_np
             offsets = np.concatenate([[0], np.cumsum(cl_counts)])
             for i in range(n):
                 lo, hi = int(offsets[i]), int(offsets[i + 1])
@@ -551,8 +566,9 @@ def run_simulation(
             key = jax.random.fold_in(base_key, start)
             with phase_timer(times, "dispatch"):
                 out = sim.simulate_batch(key, vertices, momenta, assemble=False)
+            counts, pf, pi, cloud_np = pull_batch(out, n)
             with phase_timer(times, "enqueue(backpressure)"):
-                work_q.put((out, start, n))
+                work_q.put((counts, pf, pi, cloud_np, start, n))
         work_q.put(None)
         thread.join()
         if write_error:
