@@ -358,9 +358,11 @@ class DetectorSimulator:
         )
         if assemble:
             total = int(np.asarray(out["spyral_counts"]).sum())
+            # pull full fixed-shape arrays (fresh slice shapes would compile
+            # a new device program per distinct length)
             spyral, labels = self.assemble_spyral(
-                np.asarray(out["packed_f32"][:total]),
-                np.asarray(out["packed_i16"][:total]),
+                np.asarray(out["packed_f32"])[:total],
+                np.asarray(out["packed_i16"])[:total],
             )
             out["spyral"] = spyral
             out["spyral_labels"] = labels
@@ -477,25 +479,35 @@ def run_simulation(
                 f"deposit point pool overflow ({pool_overflow} points); "
                 "raise EngineParams.point_budget"
             )
+        # Slice lengths are quantized to a coarse grid: a fresh length every
+        # batch would mean a fresh slice-program compilation every batch
+        # (minutes of tunnel-compile amortized to ~5s each — measured as a
+        # 6s/batch "transfer").
+        def quantize(k, limit):
+            q = 262_144
+            return min(((k + q - 1) // q) * q, limit)
+
         if hasattr(writer, "write_spyral_pool"):
             total = int(counts.sum())
+            total_q = quantize(total, out["packed_f32"].shape[0])
             with phase_timer(times, "pull-packed"):
-                pf = np.asarray(out["packed_f32"][:total])
-                pi = np.asarray(out["packed_i16"][:total])
+                pf = np.asarray(out["packed_f32"][:total_q])[:total]
+                pi = np.asarray(out["packed_i16"][:total_q])[:total]
             return counts, pf, pi, None
         # reference SimulationWriter protocol path: pull the raw cloud
         with phase_timer(times, "pull-cloud"):
             cl_counts = np.asarray(out["counts"][:n])
             cl_total = int(cl_counts.sum())
+            cl_q = quantize(cl_total, out["pads"].shape[0])
             raw = np.stack(
                 [
-                    np.asarray(out["pads"][:cl_total], dtype=np.float64),
-                    np.asarray(out["tbs"][:cl_total], dtype=np.float64),
-                    np.asarray(out["charges"][:cl_total], dtype=np.float64),
+                    np.asarray(out["pads"][:cl_q], dtype=np.float64)[:cl_total],
+                    np.asarray(out["tbs"][:cl_q], dtype=np.float64)[:cl_total],
+                    np.asarray(out["charges"][:cl_q], dtype=np.float64)[:cl_total],
                 ],
                 axis=-1,
             )
-            labels_all = np.asarray(out["labels"][:cl_total], dtype=np.int64)
+            labels_all = np.asarray(out["labels"][:cl_q], dtype=np.int64)[:cl_total]
         return counts, None, None, (raw, labels_all, cl_counts)
 
     def write_out(pending):
