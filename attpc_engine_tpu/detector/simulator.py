@@ -535,37 +535,17 @@ def run_simulation(
         if progress is not None:
             progress.update(n)
 
-    # Pipelining: the main thread reads input and dispatches device batches;
-    # a writer thread pulls results over the (slow) device->host link and
-    # writes HDF5, overlapping with the next batch's compute. A bounded
-    # queue applies backpressure so at most 2 batches are in flight.
-    import queue
-    import threading
-
-    work_q: "queue.Queue" = queue.Queue(maxsize=2)
-    write_error: list[BaseException] = []
-
-    def writer_loop():
-        while True:
-            item = work_q.get()
-            if item is None:
-                return
-            try:
-                write_out(item)
-            except BaseException as err:  # propagate to the main thread
-                write_error.append(err)
-                return
-
-    thread = threading.Thread(target=writer_loop, daemon=True)
-    thread.start()
-    stop = reader.n_events if stop_event is None else min(stop_event, reader.n_events)
+    # Serial loop: dispatch -> pull -> assemble -> write. The device link is
+    # a serialized FIFO tunnel here, so neither dispatch-ahead double
+    # buffering (the pull then waits behind the NEXT batch's compute) nor a
+    # writer thread (GIL contention, no transfer/compute overlap to win)
+    # helped — both were measured slower than this simple ordering.
     import os
 
     timing = os.environ.get("ATTPC_TPU_TIMING")
+    stop = reader.n_events if stop_event is None else min(stop_event, reader.n_events)
     try:
         for start in range(start_event, stop, eb):
-            if write_error:
-                raise write_error[0]
             with phase_timer(times, "read"):
                 vertices, momenta = reader.read_range(start, min(start + eb, stop))
             n = len(vertices)
@@ -579,23 +559,12 @@ def run_simulation(
             with phase_timer(times, "dispatch"):
                 out = sim.simulate_batch(key, vertices, momenta, assemble=False)
             counts, pf, pi, cloud_np = pull_batch(out, n)
-            with phase_timer(times, "enqueue(backpressure)"):
-                work_q.put((counts, pf, pi, cloud_np, start, n))
-        work_q.put(None)
-        thread.join()
-        if write_error:
-            raise write_error[0]
+            write_out((counts, pf, pi, cloud_np, start, n))
         if timing:
             import sys
 
             print(f"[run_simulation] {times.summary()}", file=sys.stderr)
     finally:
-        if thread.is_alive():
-            try:
-                work_q.put_nowait(None)
-            except queue.Full:
-                pass
-            thread.join(timeout=60)
         writer.close()
         reader.close()
         if progress is not None:
