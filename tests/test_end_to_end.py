@@ -160,3 +160,63 @@ def test_full_chain(tmp_path):
         # attrs
         assert cloud_group[ev].attrs["ic_amplitude"] == -1.0
         assert "min_event" in cloud_group.attrs
+
+
+def test_full_chain_multistep(tmp_path):
+    """Three-step chain (reaction + 2 decays): 8 nuclei, default indices
+    [2, 4, 6, 7], four tracks per event through the detector."""
+    from attpc_engine_tpu.kinematics import Decay
+
+    pipeline = KinematicsPipeline(
+        [
+            Reaction(
+                target=nuclear_map.get_data(5, 10),
+                projectile=nuclear_map.get_data(2, 3),
+                ejectile=nuclear_map.get_data(2, 4),
+            ),
+            Decay(
+                parent=nuclear_map.get_data(5, 9),
+                residual_1=nuclear_map.get_data(2, 4),
+            ),
+            Decay(
+                parent=nuclear_map.get_data(3, 5),
+                residual_1=nuclear_map.get_data(2, 4),
+            ),
+        ],
+        [
+            ExcitationGaussian(16.8, 0.2),
+            ExcitationGaussian(0.0, 1.25),
+            ExcitationGaussian(0.0, 0.0),
+        ],
+        [PolarUniform(0.0, np.pi)] * 3,
+        24.0,
+        target_material=KinematicsTargetMaterial(
+            material=gas, z_range=(0.2, 0.8), rho_sigma=0.005
+        ),
+    )
+    kine = tmp_path / "chain.h5"
+    run_kinematics_pipeline(pipeline, 8, kine, batch_size=8, seed=31,
+                            show_progress=False)
+
+    config = _config()
+    outdir = tmp_path / "clouds"
+    outdir.mkdir()
+    writer = SpyralWriter(outdir, config)
+    engine = EngineParams(
+        n_time_steps=2000, chunk_steps=250, point_budget=4096,
+        cloud_cap=24576, out_budget=24576, events_per_batch=4,
+    )
+    run_simulation(config, kine, writer, engine=engine, seed=13,
+                   show_progress=False)
+
+    with h5.File(sorted(outdir.glob("run_*.h5"))[0]) as f:
+        g = f["cloud"]
+        names = [n for n in g if n.startswith("cloud_")]
+        assert len(names) >= 4
+        all_labels = set()
+        for n in names:
+            all_labels |= set(g[n.replace("cloud", "labels")][:].tolist())
+        # labels are the simulated nucleus indices: alphas at 2, 4, 6 and
+        # the final proton at 7 (10B(3He,a)9B* -> a + 5Li -> a + p)
+        assert all_labels <= {2, 4, 6, 7}
+        assert len(all_labels) >= 3  # several species actually hit pads
