@@ -136,13 +136,31 @@ class DetectorSimulator:
         self._resp_prefix = jnp.asarray(prefix, dtype=jnp.float32)
         self._resp_max = float(resp.max())
 
-        self._sim_jit = jax.jit(self._simulate_impl, static_argnames=("n_events",))
+        self._sim_jit = jax.jit(
+            self._simulate_impl,
+            static_argnames=("n_events", "point_budget", "cloud_cap", "out_budget"),
+        )
 
     # ------------------------------------------------------------------ #
 
-    def _simulate_impl(self, key, vertices, gvs, n_events: int):
-        """vertices [E,3] f32, gvs [E,K,3] f32 -> cloud + spyral arrays."""
+    def _simulate_impl(
+        self,
+        key,
+        vertices,
+        gvs,
+        n_events: int,
+        point_budget: int | None = None,
+        cloud_cap: int | None = None,
+        out_budget: int | None = None,
+    ):
+        """vertices [E,3] f32, gvs [E,K,3] f32 -> cloud + spyral arrays.
+
+        Pool budgets are static jit arguments (None = the engine defaults)
+        so the driver can retune them between batches."""
         cfg, eng = self.config, self.engine
+        point_budget = point_budget or eng.point_budget
+        cloud_cap = cloud_cap or eng.cloud_cap
+        out_budget = out_budget or eng.out_budget
         dev = cfg.device_arrays()
         e = n_events
         k = self.k_tracks
@@ -187,19 +205,24 @@ class DetectorSimulator:
             mpgd_gain=float(cfg.det_params.mpgd_gain),
             n_events=e,
             tracks_per_event=k,
-            point_budget=eng.point_budget,
-            cloud_cap=eng.cloud_cap,
+            point_budget=point_budget,
+            cloud_cap=cloud_cap,
         )
-        packed_f32, packed_i16, counts, out_overflow = self._convert_to_spyral(cloud)
+        packed_f32, packed_i16, counts, out_overflow = self._convert_to_spyral(
+            cloud, out_budget
+        )
         cloud["packed_f32"] = packed_f32  # [E*out_budget, 3] amp, integral, tb
         cloud["packed_i16"] = packed_i16  # [E*out_budget, 2] pad, label
         cloud["spyral_counts"] = counts
         cloud["spyral_overflow"] = out_overflow
         # one small array for everything the host polls per batch (the
-        # tunnel costs ~30ms per round trip)
+        # tunnel costs ~30ms per round trip): counts[E], n_points[E],
+        # cloud counts[E], then 3 overflow flags
         cloud["meta_i32"] = jnp.concatenate(
             [
                 counts,
+                cloud["n_points"],
+                cloud["counts"],
                 jnp.stack(
                     [out_overflow, cloud["seg_overflow"], cloud["pool_overflow"]]
                 ),
@@ -235,7 +258,7 @@ class DetectorSimulator:
         out[:, 7] = cfg.pad_sizes[pads]
         return out, labels
 
-    def _convert_to_spyral(self, cloud):
+    def _convert_to_spyral(self, cloud, out_budget: int):
         """Batched Spyral 8-column conversion + ADC threshold + z-sort
         (reference writer.py:61-112,222-238), fully pooled: the cloud
         arrives as [S] pooled unique points (event-ordered), kept rows are
@@ -272,7 +295,7 @@ class DetectorSimulator:
         keep = valid & (amp > float(cfg.elec_params.adc_threshold))
         n_keep = keep.sum(dtype=jnp.int32)
         # kept rows can never exceed the cloud pool size
-        out_pool = min(e * self.engine.out_budget, keep.shape[0])
+        out_pool = min(e * out_budget, keep.shape[0])
         out_overflow = jnp.maximum(n_keep - out_pool, 0)
 
         # ONE sort over the full pool both compacts and orders: dropped rows
@@ -327,7 +350,14 @@ class DetectorSimulator:
     # ------------------------------------------------------------------ #
 
     def simulate_batch(
-        self, key, vertices: np.ndarray, momenta: np.ndarray, assemble: bool = True
+        self,
+        key,
+        vertices: np.ndarray,
+        momenta: np.ndarray,
+        assemble: bool = True,
+        point_budget: int | None = None,
+        cloud_cap: int | None = None,
+        out_budget: int | None = None,
     ):
         """Simulate a batch of events.
 
@@ -354,7 +384,13 @@ class DetectorSimulator:
         p3 = momenta[:, self.sim_indices, :3]  # [E, K, 3]
         gvs = (p3 / self.track_masses[None, :, None]).astype(np.float32)
         out = self._sim_jit(
-            key, jnp.asarray(vertices, dtype=jnp.float32), jnp.asarray(gvs), e
+            key,
+            jnp.asarray(vertices, dtype=jnp.float32),
+            jnp.asarray(gvs),
+            e,
+            point_budget=point_budget or self.engine.point_budget,
+            cloud_cap=cloud_cap or self.engine.cloud_cap,
+            out_budget=out_budget or self.engine.out_budget,
         )
         if assemble:
             total = int(np.asarray(out["spyral_counts"]).sum())
@@ -411,6 +447,7 @@ def run_simulation(
     show_progress: bool = True,
     start_event: int = 0,
     stop_event: int | None = None,
+    auto_tune: bool = True,
 ):
     """Run the detector simulation over a kinematics file.
 
@@ -454,31 +491,39 @@ def run_simulation(
 
     eb = engine.events_per_batch
 
-    def pull_batch(out, n):
+    class _PoolOverflow(RuntimeError):
+        def __init__(self, kind: str, amount: int):
+            super().__init__(f"{kind} pool overflow ({amount})")
+            self.kind = kind
+            self.amount = amount
+
+    def pull_batch(out, n, eb):
         """Pull one batch's results (device sync + tunnel transfer).
 
         Strictly ordered BEFORE the next dispatch: the device link is FIFO,
         so a pull issued after the next batch's dispatch waits behind that
-        batch's entire computation (measured 3x slowdown)."""
+        batch's entire computation (measured 3x slowdown).
+
+        Returns (counts, pf, pi, cloud_np, stats) where stats holds the
+        per-event maxima used for budget auto-tuning."""
         with phase_timer(times, "pull-meta"):
-            meta = np.asarray(out["meta_i32"])  # counts[E] + 3 overflow flags
+            # layout: kept counts[E], n_points[E], cloud counts[E], 3 flags
+            meta = np.asarray(out["meta_i32"])
         counts = meta[:n]
+        n_points = meta[eb : eb + n]
+        cl_counts_all = meta[2 * eb : 2 * eb + n]
         out_overflow, seg_overflow, pool_overflow = meta[-3:]
-        if out_overflow > 0:
-            raise RuntimeError(
-                f"Spyral output pool overflow ({out_overflow} rows); raise "
-                "EngineParams.out_budget"
-            )
-        if seg_overflow > 0:
-            raise RuntimeError(
-                f"cloud segment pool overflow ({seg_overflow} points); "
-                "raise EngineParams.cloud_cap"
-            )
         if pool_overflow > 0:
-            raise RuntimeError(
-                f"deposit point pool overflow ({pool_overflow} points); "
-                "raise EngineParams.point_budget"
-            )
+            raise _PoolOverflow("point", int(pool_overflow))
+        if seg_overflow > 0:
+            raise _PoolOverflow("cloud", int(seg_overflow))
+        if out_overflow > 0:
+            raise _PoolOverflow("out", int(out_overflow))
+        stats = (
+            int(n_points.sum()),
+            int(cl_counts_all.sum()),
+            int(counts.sum()),
+        )
         # Slice lengths are quantized to a coarse grid: a fresh length every
         # batch would mean a fresh slice-program compilation every batch
         # (minutes of tunnel-compile amortized to ~5s each — measured as a
@@ -493,10 +538,10 @@ def run_simulation(
             with phase_timer(times, "pull-packed"):
                 pf = np.asarray(out["packed_f32"][:total_q])[:total]
                 pi = np.asarray(out["packed_i16"][:total_q])[:total]
-            return counts, pf, pi, None
+            return counts, pf, pi, None, stats
         # reference SimulationWriter protocol path: pull the raw cloud
         with phase_timer(times, "pull-cloud"):
-            cl_counts = np.asarray(out["counts"][:n])
+            cl_counts = cl_counts_all
             cl_total = int(cl_counts.sum())
             cl_q = quantize(cl_total, out["pads"].shape[0])
             raw = np.stack(
@@ -508,7 +553,7 @@ def run_simulation(
                 axis=-1,
             )
             labels_all = np.asarray(out["labels"][:cl_q], dtype=np.int64)[:cl_total]
-        return counts, None, None, (raw, labels_all, cl_counts)
+        return counts, None, None, (raw, labels_all, cl_counts), stats
 
     def write_out(pending):
         """Assemble (host numpy) + write one batch; runs on the writer
@@ -540,10 +585,27 @@ def run_simulation(
     # buffering (the pull then waits behind the NEXT batch's compute) nor a
     # writer thread (GIL contention, no transfer/compute overlap to win)
     # helped — both were measured slower than this simple ordering.
+    #
+    # Budget auto-tuning: sort/merge cost scales with pool CAPACITY, not
+    # content (sentinel entries ride every sorting pass), so after the first
+    # batch the pools are retightened to ~1.6x the observed multiplicities
+    # (one extra compilation). A later batch overflowing a pool doubles that
+    # budget and recomputes the same batch — keys derive from the event
+    # range, so the retry is bit-identical physics.
     import os
 
     timing = os.environ.get("ATTPC_TPU_TIMING")
     stop = reader.n_events if stop_event is None else min(stop_event, reader.n_events)
+
+    def round_up(k, q=256):
+        return max(((int(k) + q - 1) // q) * q, q)
+
+    budgets = {
+        "point": engine.point_budget,
+        "cloud": engine.cloud_cap,
+        "out": engine.out_budget,
+    }
+    tuned = not auto_tune
     try:
         for start in range(start_event, stop, eb):
             with phase_timer(times, "read"):
@@ -556,14 +618,40 @@ def run_simulation(
                     [momenta, np.zeros((pad_n,) + momenta.shape[1:])]
                 )
             key = jax.random.fold_in(base_key, start)
-            with phase_timer(times, "dispatch"):
-                out = sim.simulate_batch(key, vertices, momenta, assemble=False)
-            counts, pf, pi, cloud_np = pull_batch(out, n)
+            for _attempt in range(8):
+                with phase_timer(times, "dispatch"):
+                    out = sim.simulate_batch(
+                        key, vertices, momenta, assemble=False,
+                        point_budget=budgets["point"],
+                        cloud_cap=budgets["cloud"],
+                        out_budget=budgets["out"],
+                    )
+                try:
+                    counts, pf, pi, cloud_np, stats = pull_batch(out, n, eb)
+                    break
+                except _PoolOverflow as ov:
+                    budgets[ov.kind] *= 2
+                    if budgets[ov.kind] > 2**21:
+                        raise
+            else:
+                raise RuntimeError("pool budgets failed to converge")
             write_out((counts, pf, pi, cloud_np, start, n))
+            if not tuned:
+                # retighten to the observed first-batch multiplicities
+                pts, segs, kept = (s / eb for s in stats)
+                budgets["point"] = min(
+                    budgets["point"], round_up(pts * 1.6)
+                )
+                budgets["cloud"] = min(budgets["cloud"], round_up(segs * 1.6))
+                budgets["out"] = min(budgets["out"], round_up(kept * 1.6))
+                tuned = True
         if timing:
             import sys
 
-            print(f"[run_simulation] {times.summary()}", file=sys.stderr)
+            print(
+                f"[run_simulation] budgets={budgets}\n{times.summary()}",
+                file=sys.stderr,
+            )
     finally:
         writer.close()
         reader.close()
