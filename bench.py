@@ -94,15 +94,9 @@ def main() -> None:
         [PolarUniform(0.0, np.pi)],
         120.0,
     )
-    # pool budgets sized to this reaction's measured multiplicities
-    # (~300 deposit points, ~6.7k cloud points per event); any overflow
-    # raises with the knob to bump — sorts cost by capacity, not content
-    engine = EngineParams(
-        events_per_batch=det_batch,
-        point_budget=int(os.environ.get("BENCH_POINT_BUDGET", 512)),
-        cloud_cap=int(os.environ.get("BENCH_CLOUD_CAP", 8192)),
-        out_budget=int(os.environ.get("BENCH_OUT_BUDGET", 6144)),
-    )
+    # default engine params; run_simulation auto-tunes the pool budgets to
+    # the observed multiplicities after the first batch
+    engine = EngineParams(events_per_batch=det_batch)
 
     tmp_ctx = None
     if outdir is None:
