@@ -597,7 +597,9 @@ def run_simulation(
     timing = os.environ.get("ATTPC_TPU_TIMING")
     stop = reader.n_events if stop_event is None else min(stop_event, reader.n_events)
 
-    def round_up(k, q=256):
+    def round_up(k, q):
+        # coarse granularity keeps the tuned shapes stable across runs with
+        # different seeds (every distinct shape costs a compilation)
         return max(((int(k) + q - 1) // q) * q, q)
 
     budgets = {
@@ -639,11 +641,9 @@ def run_simulation(
             if not tuned:
                 # retighten to the observed first-batch multiplicities
                 pts, segs, kept = (s / eb for s in stats)
-                budgets["point"] = min(
-                    budgets["point"], round_up(pts * 1.6)
-                )
-                budgets["cloud"] = min(budgets["cloud"], round_up(segs * 1.6))
-                budgets["out"] = min(budgets["out"], round_up(kept * 1.6))
+                budgets["point"] = min(budgets["point"], round_up(pts * 1.6, 256))
+                budgets["cloud"] = min(budgets["cloud"], round_up(segs * 1.6, 2048))
+                budgets["out"] = min(budgets["out"], round_up(kept * 1.6, 2048))
                 tuned = True
         if timing:
             import sys

@@ -112,8 +112,9 @@ def main() -> None:
     kine_batch = min(65536, n_events)
     pipeline.run_batch(kine_batch, key=jax.random.PRNGKey(0))
     warm_path = outdir / "warm.h5"
+    # two batches so the auto-tuned pool shapes also compile during warmup
     run_kinematics_pipeline(
-        pipeline, det_batch, warm_path, batch_size=kine_batch, seed=0,
+        pipeline, det_batch * 2, warm_path, batch_size=kine_batch, seed=0,
         show_progress=False,
     )
     writer = SpyralWriter(cloud_dir, config)
