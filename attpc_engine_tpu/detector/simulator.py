@@ -642,8 +642,8 @@ def run_simulation(
                 # retighten to the observed first-batch multiplicities
                 pts, segs, kept = (s / eb for s in stats)
                 budgets["point"] = min(budgets["point"], round_up(pts * 1.6, 256))
-                budgets["cloud"] = min(budgets["cloud"], round_up(segs * 1.6, 2048))
-                budgets["out"] = min(budgets["out"], round_up(kept * 1.6, 2048))
+                budgets["cloud"] = min(budgets["cloud"], round_up(segs * 1.4, 2048))
+                budgets["out"] = min(budgets["out"], round_up(kept * 1.4, 2048))
                 tuned = True
         if timing:
             import sys
