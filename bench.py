@@ -33,7 +33,7 @@ NORTH_STAR_EVENTS_PER_SEC = 1_000_000 / 60.0
 
 def main() -> None:
     n_events = int(os.environ.get("BENCH_EVENTS", 20_000))
-    det_batch = int(os.environ.get("BENCH_BATCH", 256))
+    det_batch = int(os.environ.get("BENCH_BATCH", 384))
     outdir = os.environ.get("BENCH_OUTDIR")
 
     import jax
