@@ -105,7 +105,7 @@ def main() -> None:
     outdir = Path(outdir)
     kine_path = outdir / "bench_kinematics.h5"
     cloud_dir = outdir / "clouds"
-    cloud_dir.mkdir(exist_ok=True)
+    cloud_dir.mkdir(parents=True, exist_ok=True)
 
     # ---- warmup / compile (excluded from the timed run) ---------------- #
     t0 = time.perf_counter()
