@@ -461,6 +461,7 @@ def run_kinematics_pipeline(
     from ..io.kinematics_file import KinematicsWriter  # local import: avoid cycle
 
     output_path = Path(output_path)
+    batch_size = min(batch_size, n_events)
     if seed is None:
         seed = int(np.random.SeedSequence().entropy % (2**31))
     base_key = jax.random.PRNGKey(seed)
@@ -489,7 +490,9 @@ def run_kinematics_pipeline(
         while written < n_events:
             n = min(batch_size, n_events - written)
             key = jax.random.fold_in(base_key, batch_index)
-            vertices, momenta, accepted = pipeline._run_batch_jit(key, n)
+            # always sample the full batch shape (a tail-sized batch would
+            # compile a fresh program); surplus lanes are dropped on write
+            vertices, momenta, accepted = pipeline._run_batch_jit(key, batch_size)
             if pending is not None:
                 _drain_kinematics_batch(pipeline, writer, progress, pending)
             pending = (vertices, momenta, accepted, n)
@@ -505,13 +508,13 @@ def run_kinematics_pipeline(
 
 def _drain_kinematics_batch(pipeline, writer, progress, pending) -> None:
     vertices, momenta, accepted, n = pending
-    accepted = np.asarray(accepted)
+    accepted = np.asarray(accepted)[:n]
     if not accepted.all():
         n_bad = int((~accepted).sum())
         raise PipelineError(
             f"Reached Sampling Limit ({pipeline.event_sample_limit} samples)"
             f" for {n_bad} events! You may have defined an illegal reaction!"
         )
-    writer.write_batch(np.asarray(vertices), np.asarray(momenta))
+    writer.write_batch(np.asarray(vertices)[:n], np.asarray(momenta)[:n])
     if progress is not None:
         progress.update(n)
