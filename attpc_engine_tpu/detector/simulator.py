@@ -277,10 +277,6 @@ class DetectorSimulator:
         events = cloud["events"]
         e = cloud["counts"].shape[0]
 
-        win = float(cfg.elec_params.windows_edge)
-        mm = float(cfg.elec_params.micromegas_edge)
-        z_mm = (win - tbs) / (win - mm) * cfg.det_params.length * 1000.0
-
         # amplitude / integral with per-sample 4095 clipping, computed in
         # O(log NUM_TB) per point via the sorted-response prefix sums
         q_safe = jnp.maximum(q, 1e-12)
@@ -299,34 +295,30 @@ class DetectorSimulator:
         out_overflow = jnp.maximum(n_keep - out_pool, 0)
 
         # ONE sort over the full pool both compacts and orders: dropped rows
-        # get the max key so the kept rows come out leading AND
+        # get the max event key so the kept rows come out leading AND
         # (event, z)-sorted; the output pool is then just a slice — no
-        # nonzero pass, no permutation gathers. The int32 key packs the
-        # event above 22 bits of quantized z (~0.24 um ordering resolution
-        # over a 1 m chamber; ties keep the stable pre-sort (event, pad, tb)
-        # order).
-        z_q = jnp.clip(
-            (z_mm * (float(2**22 - 1) / (cfg.det_params.length * 1000.0))),
-            0,
-            float(2**22 - 1),
-        ).astype(jnp.int32)
-        key32 = jnp.where(
-            keep, events * jnp.int32(2**22) + z_q, jnp.iinfo(jnp.int32).max
-        )
+        # nonzero pass, no permutation gathers. z ordering is EXACT: z_mm is
+        # a monotone decreasing function of tb ((win - tb) * positive const,
+        # reference writer.py:97-111), so descending tb == ascending z with
+        # no quantization — and no event-count ceiling packed into the key.
+        # Ties keep the stable pre-sort (event, pad, tb) order.
+        ev_key = jnp.where(keep, events, jnp.iinfo(jnp.int32).max)
+        neg_tb = -tbs
 
         # carry only what can't be recomputed on the host: the device->host
         # tunnel measures ~20 MB/s, so x/y/z/size (all derivable from pad id
         # and tb with host tables) are NOT produced or shipped — output is
         # a packed f32[P,3] (amp, integral, tb) + i16[P,2] (pad, label),
-        # 15 bytes/row instead of 36
-        (keys_o, amps, ints, pids, tbf, lbls) = jax.lax.sort(
-            (key32, amp, integral, pads, tbs, labels),
+        # 15 bytes/row instead of 36. tb rides along as the second sort key
+        # (negated), so the operand count matches the old single-key sort.
+        (keys_o, neg_tb_o, amps, ints, pids, lbls) = jax.lax.sort(
+            (ev_key, neg_tb, amp, integral, pads, labels),
             dimension=0,
             is_stable=True,
-            num_keys=1,
+            num_keys=2,
         )
-        keys_o = keys_o[:out_pool]
-        evs = keys_o // jnp.int32(2**22)
+        tbf = -neg_tb_o
+        evs = keys_o[:out_pool]
 
         ok = jnp.arange(out_pool, dtype=jnp.int32) < n_keep
         packed_f32 = jnp.stack(
