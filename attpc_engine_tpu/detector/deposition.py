@@ -5,27 +5,45 @@ TPU-native replacement for the reference's numba transport kernels
 numba-Dict accumulation (simulator.py:93-104). The reference iterates
 trajectory points in Python/numba, depositing each point's electrons onto a
 10x10 Gaussian mesh and accumulating charge in a hash map keyed by
-Szudzik(tb, pad). Here the whole batch is processed as array programs:
+Szudzik(tb, pad). Here the whole batch is processed as array programs,
+structured around per-event sort windows (v2 — replaces the round-1 global
+batch sort over event-packed keys):
 
 1. ``generate_electrons`` — Fano-smeared electron counts per deposit point
    (reference solver.py:308-347) as one vectorized normal draw,
-2. batch-level compaction: valid deposit points from ALL events in the
-   batch are gathered into one shared point pool (capacity =
-   n_events * point_budget). Track lengths vary wildly (a fast proton exits
-   in ~200 steps, a stopping residual lives thousands), so pooling wastes
-   nothing on short events while long events can borrow capacity,
+2. per-event compaction: each event's valid deposit points are packed into
+   its own fixed window of ``point_budget`` slots (row cumsum + one
+   scatter); overflow per event is counted,
 3. mesh expansion: every pooled point emits a 10x10 pixel block; pad ids
-   come from one gather into the 5600x5600 lookup grid; the beam-pad veto
-   is a LUT gather (vs the reference's 122-element linear scan per pixel),
-4. ONE stable batch-wide sort over event-packed keys
-   (event * (10240*512) + pad * 512 + tb) carrying the charge, followed by a
-   boundary-gather merge (segment starts found by one cumsum/nonzero, charge
-   sums by f64 prefix-sum differences): charge is summed, the label is the
-   last writer in deposition order — exactly the reference's dict-overwrite
-   semantics (transporter.py:169,249). The merged points come out pooled in
-   event order — no per-event scatter at all,
-5. the per-point TB wiggle U[0,1) and the 0 <= tb < 512 bound
-   (simulator.py:108-113) are applied to the merged cloud.
+   come from one gather into the pre-keyed 1-mm lookup table; the beam-pad
+   veto is pre-folded into that table (vs the reference's 122-element
+   linear scan per pixel),
+4. LOCAL dedup: the 100 pixels of one point carry only ~24 unique
+   (pad, tb) keys (measured on the flagship config — the mesh spans a few
+   pads and all 100 pixels share the point's tb). A small row sort of each
+   point's 128-padded pixel block + a segmented scan merges them, and a
+   second row sort compacts the survivors into ``local_cap`` slots,
+5. EVENT merge: one batched per-event-window sort ([E, point_budget *
+   local_cap], keys are plain ``pad * 512 + tb`` — no event packed into the
+   key, so there is NO ceiling on events per batch) + a segmented scan.
+   Charge is summed (f32 is exact enough here: segmented scans only
+   accumulate within a segment, unlike the round-1 global prefix sum that
+   needed a hierarchical f32/f64 trick); the label is the last writer in
+   deposition order — exactly the reference's dict-overwrite semantics
+   (transporter.py:169,249),
+6. the per-point TB wiggle U[0,1) and the 0 <= tb < 512 bound
+   (simulator.py:108-113) are applied to the merged entries.
+
+The merged entries are returned UNCOMPACTED in their per-event windows
+(flattened, with ``events``/``cloud_valid`` marking real rows): the Spyral
+conversion consumes them window-wise, so a compaction pass here would be
+pure overhead. ``compact_cloud`` performs the old pooled compaction for
+consumers that need valid-rows-first layout (the reference-protocol writer
+path).
+
+Per-event windows (vs the round-1 shared pool) also make the event axis
+trivially shardable across a device mesh: every array is event-major with
+no cross-event structure.
 
 Differences from the reference, documented per SURVEY.md hard-part 5:
 - (a) positions are floored to whole mm before pad lookup (quirk kept), but
@@ -35,8 +53,9 @@ Differences from the reference, documented per SURVEY.md hard-part 5:
   per-pixel int() truncation (sub-ppm effect at MPGD gains),
 - out-of-window tbs are dropped at deposit time (provably identical to the
   reference's post-hoc mask),
-- capacities are bounded: the shared point pool and the per-event cloud
-  capacity both report overflow counts instead of growing unboundedly.
+- capacities are bounded: the per-event point windows and the per-point
+  ``local_cap`` unique-key slots report overflow counts instead of growing
+  unboundedly (the driver doubles the budget and re-runs the batch).
 """
 
 from __future__ import annotations
@@ -46,11 +65,16 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["generate_electrons", "deposit_and_merge", "MESH_STEPS", "KEY_SENTINEL"]
+__all__ = [
+    "generate_electrons",
+    "deposit_and_merge",
+    "compact_cloud",
+    "MESH_STEPS",
+    "KEY_SENTINEL",
+]
 
 MESH_STEPS = 10  # reference transporter.py:8
 NUM_TB = 512
-PAD_TB = 10240 * NUM_TB  # key stride per event
 KEY_SENTINEL = jnp.int32(2**31 - 1)
 
 
@@ -69,27 +93,6 @@ def generate_electrons(
     sigma = jnp.sqrt(fano_factor * n_mean)
     n = n_mean + sigma * jax.random.normal(key, dke.shape, dtype=jnp.float32)
     return n.astype(jnp.int32)
-
-
-def nonzero_i32(mask: jax.Array, size: int, fill: int) -> tuple[jax.Array, jax.Array]:
-    """Static-size nonzero with pure-int32 internals.
-
-    Under x64 (enabled package-wide for the kinematics) ``jnp.nonzero``
-    computes in int64, which is software-emulated on TPU; this variant keeps
-    the cumsum and scatter in int32.
-
-    Returns (indices [size] i32 ascending, count [] i32). Overflowing
-    entries are dropped; missing slots hold ``fill``.
-    """
-    cs = jnp.cumsum(mask.astype(jnp.int32))
-    total = cs[-1]
-    pos = jnp.where(mask, cs - 1, size)  # out-of-range -> dropped
-    # NOTE: pos is NOT sorted (dropped sentinels interleave), so no
-    # indices_are_sorted/unique_indices hints here
-    out = jnp.full(size, fill, jnp.int32).at[pos].set(
-        jnp.arange(mask.shape[0], dtype=jnp.int32), mode="drop"
-    )
-    return out, total
 
 
 def _key_lookup(
@@ -117,9 +120,32 @@ def _key_lookup(
     return jnp.where(inb, key, KEY_SENTINEL)
 
 
+def _seg_scan(first: jax.Array, values: jax.Array, axis: int) -> jax.Array:
+    """Segmented inclusive prefix sum along ``axis``: sums reset where
+    ``first`` is True. Error accumulates only within a segment (and the
+    scan combines as a tree), so f32 is plenty even for large windows."""
+
+    def op(a, b):
+        af, av = a
+        bf, bv = b
+        return af | bf, bv + jnp.where(bf, 0.0, av)
+
+    _, sums = jax.lax.associative_scan(op, (first, values), axis=axis)
+    return sums
+
+
+def _run_edges(keys: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(first, last) masks of equal-key runs along the last axis."""
+    change = keys[..., 1:] != keys[..., :-1]
+    ones = jnp.ones(keys.shape[:-1] + (1,), dtype=bool)
+    first = jnp.concatenate([ones, change], axis=-1)
+    last = jnp.concatenate([change, ones], axis=-1)
+    return first, last
+
+
 @partial(
     jax.jit,
-    static_argnames=("n_events", "tracks_per_event", "point_budget", "cloud_cap"),
+    static_argnames=("n_events", "tracks_per_event", "point_budget", "local_cap"),
 )
 def deposit_and_merge(
     key: jax.Array,
@@ -139,7 +165,8 @@ def deposit_and_merge(
     n_events: int,
     tracks_per_event: int,
     point_budget: int = 1024,
-    cloud_cap: int = 8192,
+    local_cap: int = 64,
+    cloud_cap: int | None = None,  # accepted for v1 compat; unused
 ):
     """Transport deposits to the pad plane and merge to unique (pad, tb).
 
@@ -157,31 +184,34 @@ def deposit_and_merge(
         KEY_SENTINEL where vetoed/hole); grid_lo_mm/grid_n_mm: its edges.
     diffusion, efield, drift_velocity, micromegas_edge, length, mpgd_gain:
         physics scalars (reference meanings).
-    point_budget: shared point pool capacity = n_events * point_budget.
-        On pool overflow the trailing (flat-order) points are dropped and
-        counted in ``pool_overflow``.
-    cloud_cap: shared unique-(pad, tb) segment pool budget per event (total
-        capacity = n_events * cloud_cap; overflow counted).
+    point_budget: per-event point window capacity. Overflowing points (the
+        trailing ones in deposition order) are dropped and counted in
+        ``pool_overflow``.
+    local_cap: unique-(pad, tb) slots kept per deposit point (<= 100). The
+        flagship config measures ~24 mean / 57 max unique keys per point;
+        overflow is counted in ``seg_overflow``.
 
     Returns
     -------
-    dict of POOLED cloud arrays of size S = n_events * cloud_cap, the
-    events' unique (pad, tb) points concatenated in event order (the sort
-    key is event-major), valid rows first per event:
+    dict of merged entries in flattened per-event windows of width
+    W = point_budget * local_cap (S = n_events * W rows; event i owns rows
+    [i*W, (i+1)*W), valid rows marked, within-window order = ascending
+    (pad, tb) key):
         pads [S] i32, tbs [S] f32 (wiggled), charges [S] f32 (gain
         applied), labels [S] i32, events [S] i32 (= n_events for invalid
-        rows), cloud_valid [S] bool, counts [E] i32 (points per event),
-        n_points [E] i32 (deposit points), pool_overflow [] i32,
-        seg_overflow [] i32.
+        rows), cloud_valid [S] bool, counts [E] i32 (unique points per
+        event), n_points [E] i32 (deposit points), pool_overflow [] i32,
+        seg_overflow [] i32 (local_cap overflow), local_max [] i32 (max
+        unique keys on any point — for budget tuning).
     """
     t_steps, b = electrons.shape
     k_tracks = tracks_per_event
     e = n_events
-    if e * PAD_TB >= 2**31:
-        raise ValueError("n_events per deposit batch must be <= 409 (int32 keys)")
-    key_grid_flat = key_grid_mm.reshape(-1)
+    pb = point_budget
+    c_cap = min(local_cap, MESH_STEPS * MESH_STEPS)
     f32 = jnp.float32
-    pool = e * point_budget
+    key_grid_flat = key_grid_mm.reshape(-1)
+    p = e * pb
 
     # electrons >= 1 is part of validity (reference solver.py:387-389)
     valid = valid & (electrons >= 1)
@@ -193,31 +223,37 @@ def deposit_and_merge(
     # 0 <= tb mask after the wiggle, so the keep-condition is tb_f > -1
     valid = valid & (tb_f > -1.0) & (tb_i < NUM_TB)
 
-    # --- batch-level compaction into the shared point pool --------------- #
-    # [T, B] -> [B, T] -> [E*K*T] flat in (event, nucleus, time) order
-    def to_flat(a):
-        return a.transpose(1, 0).reshape(e * k_tracks * t_steps)
+    # --- per-event point-window compaction ------------------------------- #
+    # [T, B] -> [B, T] -> [E, K*T]: flat (event, nucleus, time) deposition
+    # order within each event row
+    kt = k_tracks * t_steps
 
-    valid_f = to_flat(valid)
-    n_points = valid.transpose(1, 0).reshape(e, -1).sum(axis=1).astype(jnp.int32)
+    def ev_flat(a):
+        return a.transpose(1, 0).reshape(e * kt)
 
-    idx, total_valid = nonzero_i32(valid_f, pool, fill=0)
-    pool_overflow = jnp.maximum(total_valid - pool, 0)
-    taken = jnp.arange(pool, dtype=jnp.int32) < total_valid
+    valid_r = ev_flat(valid).reshape(e, kt)
+    n_points = valid_r.sum(axis=1, dtype=jnp.int32)
+    pool_overflow = jnp.maximum(n_points - pb, 0).sum()
 
-    flat_len = e * k_tracks * t_steps
-    event_of_flat = lambda i: i // jnp.int32(k_tracks * t_steps)
-    px = to_flat(positions[:, :, 0])[idx]
-    py = to_flat(positions[:, :, 1])[idx]
-    ptbf = to_flat(tb_f)[idx]
-    ptbi = to_flat(tb_i)[idx]
-    # gain is applied after the merge (keeps merge-time charge
-    # magnitudes small for the hierarchical f32 prefix sums)
-    pne = to_flat(electrons)[idx].astype(f32)
-    pevent = event_of_flat(idx)
-    plabel = jnp.tile(
-        track_labels.reshape(e, k_tracks)[:, :, None], (1, 1, t_steps)
-    ).reshape(flat_len)[idx]
+    slot = jnp.cumsum(valid_r.astype(jnp.int32), axis=1) - 1
+    row = jnp.arange(e, dtype=jnp.int32)[:, None]
+    dest = jnp.where(valid_r & (slot < pb), row * pb + slot, p)
+    src = (
+        jnp.full(p, -1, jnp.int32)
+        .at[dest.reshape(-1)]
+        .set(jnp.arange(e * kt, dtype=jnp.int32), mode="drop")
+    )
+    taken = src >= 0
+    gsrc = jnp.maximum(src, 0)
+
+    px = ev_flat(positions[:, :, 0])[gsrc]
+    py = ev_flat(positions[:, :, 1])[gsrc]
+    ptbf = ev_flat(tb_f)[gsrc]
+    ptbi = ev_flat(tb_i)[gsrc]
+    # gain is applied after the merge (keeps summed charge magnitudes small
+    # for the f32 segmented scans)
+    pne = ev_flat(electrons)[gsrc].astype(f32)
+    plabel = track_labels[gsrc // t_steps]
 
     # --- diffusion mesh expansion ---------------------------------------- #
     # sigma_t = sqrt(2 D dv t / E), t in (float) TBs (transporter.py:301)
@@ -231,7 +267,7 @@ def deposit_and_merge(
     off_y = mesh_1d[None, :]  # [1, 10]
     step = 6.0 / (MESH_STEPS - 1)  # in sigma units
 
-    # pixel positions [pool, 10, 10]
+    # pixel positions [P, 10, 10]
     pix_x = px[:, None, None] + sigma_safe[:, None, None] * off_x
     pix_y = py[:, None, None] + sigma_safe[:, None, None] * off_y
     # bivariate normal pdf * pixel area (sigma^2 cancels against the area)
@@ -250,90 +286,54 @@ def deposit_and_merge(
     pkey = _key_lookup(key_grid_flat, grid_lo_mm, grid_n_mm, pix_x, pix_y)
     pix_valid = (pkey != KEY_SENTINEL) & taken[:, None, None]
 
-    # --- ONE stable batch-wide sort + boundary-gather merge --------------- #
     n_px = MESH_STEPS * MESH_STEPS
-    m2 = pool * n_px
-    gkeys = jnp.where(
-        pix_valid,
-        pevent[:, None, None] * PAD_TB + pkey + ptbi[:, None, None],
-        KEY_SENTINEL,
-    ).reshape(m2)
-    q2 = jnp.where(pix_valid, q_pix, 0.0).reshape(m2)
-    entry_idx = jnp.arange(m2, dtype=jnp.int32)
-    # q rides the sort: both a post-hoc permutation gather (779 ms) and a
-    # post-sort recompute through perm-indexed small tables (+600 ms) were
-    # measured slower than the extra sort operand
-    keys_s, q_s, perm = jax.lax.sort(
-        (gkeys, q2, entry_idx), dimension=0, is_stable=True, num_keys=1
-    )
-    real = keys_s != KEY_SENTINEL
-    boundary = (
-        jnp.concatenate([jnp.ones((1,), bool), keys_s[1:] != keys_s[:-1]]) & real
-    )
-    n_real = real.sum(dtype=jnp.int32)
+    lkey = jnp.where(pix_valid, pkey + ptbi[:, None, None], KEY_SENTINEL)
+    lkey = lkey.reshape(p, n_px)
+    lq = jnp.where(pix_valid, q_pix, 0.0).reshape(p, n_px)
 
-    s_cap = e * cloud_cap
-    starts, n_seg = nonzero_i32(boundary, s_cap, fill=m2 - 1)
-    seg_taken = jnp.arange(s_cap, dtype=jnp.int32) < n_seg
-    seg_overflow = jnp.maximum(n_seg - s_cap, 0)
+    # --- LOCAL dedup: merge each point's 100 pixels to <= local_cap ------- #
+    seg_overflow = jnp.int32(0)
+    local_max = jnp.int32(n_px)
+    if c_cap < n_px:
+        pad_n = 128 - n_px  # pad rows to the 128-lane sort width
+        lkey = jnp.concatenate(
+            [lkey, jnp.full((p, pad_n), KEY_SENTINEL, jnp.int32)], axis=1
+        )
+        lq = jnp.concatenate([lq, jnp.zeros((p, pad_n), f32)], axis=1)
+        k1, q1 = jax.lax.sort((lkey, lq), dimension=1, num_keys=1)
+        first, last = _run_edges(k1)
+        sums = _seg_scan(first, q1, axis=1)
+        real_last = last & (k1 != KEY_SENTINEL)
+        n_uniq = real_last.sum(axis=1, dtype=jnp.int32)
+        local_max = n_uniq.max()
+        seg_overflow = jnp.maximum(n_uniq - c_cap, 0).sum()
+        ukey = jnp.where(real_last, k1, KEY_SENTINEL)
+        usum = jnp.where(real_last, sums, 0.0)
+        k2, q2 = jax.lax.sort((ukey, usum), dimension=1, num_keys=1)
+        ekey = k2[:, :c_cap]
+        eq = q2[:, :c_cap]
+    else:
+        c_cap = n_px
+        ekey, eq = lkey, lq
 
-    # segment ends (exclusive): the next segment's start, or the first
-    # sentinel entry for the last real segment
-    starts_next = jnp.concatenate([starts[1:], jnp.array([0], starts.dtype)])
-    seg_i = jnp.arange(s_cap, dtype=jnp.int32)
-    ends = jnp.where(seg_i < n_seg - 1, starts_next, n_real)
+    # --- per-event-window merge sort -------------------------------------- #
+    w = pb * c_cap
+    kk = ekey.reshape(e, w)
+    qq = eq.reshape(e, w)
+    ll = jnp.broadcast_to(plabel[:, None], (p, c_cap)).reshape(e, w)
+    # stable sort: within a key run, row order is deposition order, so the
+    # run's LAST entry is the reference's dict-overwrite label writer
+    kk, qq, ll = jax.lax.sort((kk, qq, ll), dimension=1, is_stable=True, num_keys=1)
+    first, last = _run_edges(kk)
+    qsum = _seg_scan(first, qq, axis=1)
+    uniq = last & (kk != KEY_SENTINEL)
+    counts = uniq.sum(axis=1, dtype=jnp.int32)
 
-    # Per-segment charge via prefix-sum differences. A flat f32 prefix over
-    # ~26M gain-scaled charges loses ~2e6 absolute (ulp at the 1e13 total);
-    # a flat f64 cumsum is software-emulated on TPU and measured ~3s. Use a
-    # hierarchical prefix instead: f32 within 512-entry blocks (block sums
-    # stay < ~2^31 electrons -> ulp ~ 1 electron pre-gain) + f64 only over
-    # the m2/512 block offsets, combined in f64 only at the 2 gathered
-    # positions per segment. Gain is applied after the merge so in-block
-    # magnitudes stay small.
-    blk = 512
-    m2p = ((m2 + blk - 1) // blk) * blk
-    q_pad = jnp.concatenate([q_s, jnp.zeros((m2p - m2,), f32)]) if m2p != m2 else q_s
-    q_blocks = q_pad.reshape(-1, blk)
-    within = jnp.cumsum(q_blocks, axis=1)  # f32, inclusive
-    block_tot = within[:, -1]
-    block_off = jnp.concatenate(
-        [
-            jnp.zeros((1,), jnp.float64),
-            jnp.cumsum(block_tot.astype(jnp.float64))[:-1],
-        ]
-    )
-    within_flat = within.reshape(-1)
-
-    def prefix_at(i):  # inclusive prefix in f64
-        return block_off[i // blk] + within_flat[i]
-
-    q_lo = jnp.where(starts > 0, prefix_at(jnp.maximum(starts - 1, 0)), 0.0)
-    qsum = (prefix_at(jnp.maximum(ends - 1, 0)) - q_lo).astype(f32)
-    qsum = qsum * f32(mpgd_gain)
-
-    key_seg = keys_s[starts]
-    # last-writer label (reference dict-overwrite semantics): stable sort
-    # keeps deposition order within a key, so the segment's last entry is
-    # the last writer; its point index recovers the label
-    label_seg = plabel[perm[jnp.maximum(ends - 1, 0)] // n_px]
-
-    valid_seg = seg_taken & (key_seg != KEY_SENTINEL)
-    # on pool overflow the last kept slot's end is unknown (the next start
-    # was truncated away) — invalidate it; seg_overflow reports the loss
-    valid_seg = valid_seg & ~(
-        (seg_overflow > 0) & (seg_i == s_cap - 1)
-    )
-    event_seg = jnp.where(valid_seg, key_seg // PAD_TB, e)
-    local_key = key_seg - event_seg * PAD_TB
-    pads_out = jnp.where(valid_seg, local_key // NUM_TB, -1)
-    tbs_int = jnp.where(valid_seg, local_key % NUM_TB, 0)
-
-    # per-event counts: event_seg ascends (keys are event-major), so counts
-    # come from two binary searches per event
-    ev_range = jnp.arange(e + 1, dtype=jnp.int32)
-    bounds = jnp.searchsorted(event_seg, ev_range, side="left")
-    counts = (bounds[1:] - bounds[:-1]).astype(jnp.int32)
+    events_out = jnp.where(uniq, row, e).reshape(-1)
+    pads_out = jnp.where(uniq, kk // NUM_TB, -1).reshape(-1)
+    tbs_int = jnp.where(uniq, kk % NUM_TB, 0).reshape(-1)
+    charges = jnp.where(uniq, qsum * f32(mpgd_gain), 0.0).reshape(-1)
+    labels = jnp.where(uniq, ll, -1).reshape(-1)
 
     # TB wiggle U[0, 1) (simulator.py:108)
     wiggle = jax.random.uniform(key, tbs_int.shape, dtype=f32)
@@ -342,12 +342,47 @@ def deposit_and_merge(
     return {
         "pads": pads_out,
         "tbs": tbs_out,
-        "charges": jnp.where(valid_seg, qsum, 0.0),
-        "labels": jnp.where(valid_seg, label_seg, -1),
-        "events": event_seg,
-        "cloud_valid": valid_seg,
+        "charges": charges,
+        "labels": labels,
+        "events": events_out,
+        "cloud_valid": uniq.reshape(-1),
         "counts": counts,
         "n_points": n_points,
         "pool_overflow": pool_overflow,
         "seg_overflow": seg_overflow,
+        "local_max": local_max,
+    }
+
+
+@partial(jax.jit, static_argnames=("n_events", "cap"))
+def compact_cloud(cloud: dict, n_events: int, cap: int):
+    """Compact merged entries into the round-1 pooled layout: valid rows
+    first, ordered by (event, key), capacity ``cap`` rows per event (shared
+    pool of n_events * cap). For consumers that need contiguous per-event
+    slices (the reference-protocol writer path)."""
+    e = n_events
+    s_cap = min(e * cap, cloud["pads"].shape[0])
+    evkey = jnp.where(cloud["cloud_valid"], cloud["events"], jnp.int32(2**30))
+    ev, pads, tbs, charges, labels = jax.lax.sort(
+        (evkey, cloud["pads"], cloud["tbs"], cloud["charges"], cloud["labels"]),
+        dimension=0,
+        is_stable=True,
+        num_keys=1,
+    )
+    ev = ev[:s_cap]
+    total = cloud["counts"].sum()
+    overflow = jnp.maximum(total - s_cap, 0)
+    ev_range = jnp.arange(e + 1, dtype=jnp.int32)
+    bounds = jnp.searchsorted(ev, ev_range, side="left")
+    counts = (bounds[1:] - bounds[:-1]).astype(jnp.int32)
+    valid = jnp.arange(s_cap, dtype=jnp.int32) < jnp.minimum(total, s_cap)
+    return {
+        "pads": pads[:s_cap],
+        "tbs": tbs[:s_cap],
+        "charges": charges[:s_cap],
+        "labels": labels[:s_cap],
+        "events": jnp.where(valid, ev, e),
+        "cloud_valid": valid,
+        "counts": counts,
+        "overflow": overflow,
     }

@@ -26,7 +26,7 @@ import numpy as np
 
 from .. import nuclear_map
 from ..constants import NUM_TB
-from .deposition import deposit_and_merge, generate_electrons
+from .deposition import compact_cloud, deposit_and_merge, generate_electrons
 from .parameters import Config
 from .transport import TrackSpecies, integrate_tracks
 
@@ -42,19 +42,27 @@ class EngineParams:
     ----------
     n_time_steps: int
         Deposit points per track; the reference evaluates trajectories on
-        10,001 t_eval points including t=0 (solver.py:16).
+        10,001 t_eval points including t=0 (solver.py:16). This is the
+        PHYSICS window — the driver auto-tunes an effective window down to
+        the observed track lifetimes (and retries larger on saturation),
+        never past this value.
     dt: float
         Integrator step in seconds (reference: 1e-10).
     chunk_steps: int
         Scan chunk size for the early-exit outer loop.
     point_budget: int
-        Shared deposit-point pool budget per event (the pool size is
-        events_per_batch * point_budget; overflow is counted and reported).
+        Per-event deposit-point window capacity; overflow is counted and
+        the driver doubles + retries.
+    local_cap: int
+        Unique-(pad, tb) slots kept per deposit point during the local
+        mesh dedup (<= 100; flagship config measures ~24 mean / 57 max).
     cloud_cap: int
-        Shared unique-(pad, tb) cloud pool budget per event.
+        Per-event capacity of the COMPACTED cloud pool — only materialized
+        on the reference-protocol writer path (see
+        deposition.compact_cloud); the Spyral path never builds it.
     out_budget: int
         Shared output pool budget per event for the Spyral-formatted rows
-        (device->host transfers scale with this, not with cloud_cap).
+        (device->host transfers scale with this).
     events_per_batch: int
         Events per XLA program execution.
     """
@@ -63,6 +71,7 @@ class EngineParams:
     dt: float = 1e-10
     chunk_steps: int = 500
     point_budget: int = 1024
+    local_cap: int = 64
     cloud_cap: int = 12288
     out_budget: int = 8192
     events_per_batch: int = 256
@@ -138,7 +147,13 @@ class DetectorSimulator:
 
         self._sim_jit = jax.jit(
             self._simulate_impl,
-            static_argnames=("n_events", "point_budget", "cloud_cap", "out_budget"),
+            static_argnames=(
+                "n_events",
+                "point_budget",
+                "local_cap",
+                "out_budget",
+                "n_steps",
+            ),
         )
 
     # ------------------------------------------------------------------ #
@@ -150,17 +165,20 @@ class DetectorSimulator:
         gvs,
         n_events: int,
         point_budget: int | None = None,
-        cloud_cap: int | None = None,
+        local_cap: int | None = None,
         out_budget: int | None = None,
+        n_steps: int | None = None,
     ):
         """vertices [E,3] f32, gvs [E,K,3] f32 -> cloud + spyral arrays.
 
-        Pool budgets are static jit arguments (None = the engine defaults)
-        so the driver can retune them between batches."""
+        Pool budgets and the effective step window are static jit arguments
+        (None = the engine defaults) so the driver can retune them between
+        batches."""
         cfg, eng = self.config, self.engine
         point_budget = point_budget or eng.point_budget
-        cloud_cap = cloud_cap or eng.cloud_cap
+        local_cap = local_cap or eng.local_cap
         out_budget = out_budget or eng.out_budget
+        n_steps = n_steps or eng.n_time_steps
         dev = cfg.device_arrays()
         e = n_events
         k = self.k_tracks
@@ -181,9 +199,13 @@ class DetectorSimulator:
             bfield=cfg.det_params.bfield,
             efield=cfg.det_params.efield,
             dt=eng.dt,
-            n_steps=eng.n_time_steps,
-            chunk_steps=eng.chunk_steps,
+            n_steps=n_steps,
+            chunk_steps=min(eng.chunk_steps, n_steps),
         )
+        # steps with any live track: if this saturates an effective window
+        # shorter than the physics window, deposits were cut off and the
+        # driver retries with a larger window
+        steps_alive = alive.any(axis=1).sum(dtype=jnp.int32)
         electrons = generate_electrons(
             k_e, dke, cfg.det_params.w_value, cfg.det_params.fano_factor
         )
@@ -206,10 +228,11 @@ class DetectorSimulator:
             n_events=e,
             tracks_per_event=k,
             point_budget=point_budget,
-            cloud_cap=cloud_cap,
+            local_cap=local_cap,
         )
+        window = cloud["pads"].shape[0] // e
         packed_f32, packed_i16, counts, out_overflow = self._convert_to_spyral(
-            cloud, out_budget
+            cloud, out_budget, e, window
         )
         cloud["packed_f32"] = packed_f32  # [E*out_budget, 3] amp, integral, tb
         cloud["packed_i16"] = packed_i16  # [E*out_budget, 2] pad, label
@@ -217,14 +240,20 @@ class DetectorSimulator:
         cloud["spyral_overflow"] = out_overflow
         # one small array for everything the host polls per batch (the
         # tunnel costs ~30ms per round trip): counts[E], n_points[E],
-        # cloud counts[E], then 3 overflow flags
+        # cloud counts[E], then the overflow/tuning scalars
         cloud["meta_i32"] = jnp.concatenate(
             [
                 counts,
                 cloud["n_points"],
                 cloud["counts"],
                 jnp.stack(
-                    [out_overflow, cloud["seg_overflow"], cloud["pool_overflow"]]
+                    [
+                        out_overflow,
+                        cloud["seg_overflow"],
+                        cloud["pool_overflow"],
+                        steps_alive,
+                        cloud["local_max"],
+                    ]
                 ),
             ]
         )
@@ -258,85 +287,83 @@ class DetectorSimulator:
         out[:, 7] = cfg.pad_sizes[pads]
         return out, labels
 
-    def _convert_to_spyral(self, cloud, out_budget: int):
-        """Batched Spyral 8-column conversion + ADC threshold + z-sort
-        (reference writer.py:61-112,222-238), fully pooled: the cloud
-        arrives as [S] pooled unique points (event-ordered), kept rows are
-        compacted into the [E * out_budget] output pool, then one
-        multi-operand sort orders them by (event, z).
+    def _convert_to_spyral(self, cloud, out_budget: int, e: int, window: int):
+        """Batched Spyral conversion + ADC threshold + z-sort (reference
+        writer.py:61-112,222-238), windowed: merged entries arrive in
+        per-event windows of ``window`` rows, each event's kept rows are
+        z-ordered by a batched per-row sort (events never mix, so no global
+        sort over the whole pool), then one small gather packs the row
+        prefixes into the [E * out_budget] output pool.
 
-        Columns: [pad_x_mm, pad_y_mm, z_mm, amplitude, integral, pad_id,
-        tb_float, pad_size]."""
+        z ordering is EXACT: z_mm is a monotone decreasing function of tb
+        ((win - tb) * positive const, writer.py:97-111), so ascending -tb ==
+        ascending z with no quantization. Amplitude/integral are computed
+        only on the packed pool (everything they need rides the sort as the
+        charge)."""
         cfg = self.config
-        dev = cfg.device_arrays()
-        pads = cloud["pads"]
-        tbs = cloud["tbs"]
+        w = window
         q = cloud["charges"]
         valid = cloud["cloud_valid"]
-        labels = cloud["labels"]
-        events = cloud["events"]
-        e = cloud["counts"].shape[0]
+        tbs = cloud["tbs"]
+
+        amp = jnp.minimum(self._resp_max * q, 4095.0)
+        keep = valid & (amp > float(cfg.elec_params.adc_threshold))
+
+        counts = keep.reshape(e, w).sum(axis=1, dtype=jnp.int32)
+        total = counts.sum()
+        out_pool = min(e * out_budget, e * w)
+        out_overflow = jnp.maximum(total - out_pool, 0)
+
+        # per-row sort: kept rows first, ascending z (= ascending -tb).
+        # pad & label pack into one int32 payload (pad < 10240, label is a
+        # small nucleus index), so the sort carries 3 operands total.
+        rowkey = jnp.where(keep, -tbs, jnp.float32(jnp.inf)).reshape(e, w)
+        packed_pl = jnp.where(keep, cloud["pads"] * 256 + cloud["labels"], 0)
+        rk, q_s, pl_s = jax.lax.sort(
+            (rowkey, q.reshape(e, w), packed_pl.reshape(e, w)),
+            dimension=1,
+            is_stable=True,
+            num_keys=1,
+        )
+
+        # pack row prefixes into the pooled output: slot -> (event, column)
+        cum = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
+        )
+        slots = jnp.arange(out_pool, dtype=jnp.int32)
+        ev = jnp.searchsorted(cum, slots, side="right").astype(jnp.int32) - 1
+        ev = jnp.clip(ev, 0, e - 1)
+        col = jnp.clip(slots - cum[ev], 0, w - 1)
+        ok = slots < jnp.minimum(total, out_pool)
+
+        tbf = -rk[ev, col]
+        qg = q_s[ev, col]
+        plg = pl_s[ev, col]
 
         # amplitude / integral with per-sample 4095 clipping, computed in
-        # O(log NUM_TB) per point via the sorted-response prefix sums
-        q_safe = jnp.maximum(q, 1e-12)
+        # O(log NUM_TB) per point via the sorted-response prefix sums —
+        # on the packed pool only
+        q_safe = jnp.maximum(qg, 1e-12)
         thr = 4095.0 / q_safe
         idx = jnp.searchsorted(self._resp_asc, thr, side="right")
         n_clip = NUM_TB - idx
-        integral = q * self._resp_prefix[idx] + 4095.0 * n_clip
-        amp = jnp.minimum(self._resp_max * q, 4095.0)
-        amp = jnp.where(q > 0, amp, 0.0)
-        integral = jnp.where(q > 0, integral, 0.0)
-
-        keep = valid & (amp > float(cfg.elec_params.adc_threshold))
-        n_keep = keep.sum(dtype=jnp.int32)
-        # kept rows can never exceed the cloud pool size
-        out_pool = min(e * out_budget, keep.shape[0])
-        out_overflow = jnp.maximum(n_keep - out_pool, 0)
-
-        # ONE sort over the full pool both compacts and orders: dropped rows
-        # get the max event key so the kept rows come out leading AND
-        # (event, z)-sorted; the output pool is then just a slice — no
-        # nonzero pass, no permutation gathers. z ordering is EXACT: z_mm is
-        # a monotone decreasing function of tb ((win - tb) * positive const,
-        # reference writer.py:97-111), so descending tb == ascending z with
-        # no quantization — and no event-count ceiling packed into the key.
-        # Ties keep the stable pre-sort (event, pad, tb) order.
-        ev_key = jnp.where(keep, events, jnp.iinfo(jnp.int32).max)
-        neg_tb = -tbs
+        integral = qg * self._resp_prefix[idx] + 4095.0 * n_clip
+        ampg = jnp.minimum(self._resp_max * qg, 4095.0)
 
         # carry only what can't be recomputed on the host: the device->host
         # tunnel measures ~20 MB/s, so x/y/z/size (all derivable from pad id
         # and tb with host tables) are NOT produced or shipped — output is
         # a packed f32[P,3] (amp, integral, tb) + i16[P,2] (pad, label),
-        # 15 bytes/row instead of 36. tb rides along as the second sort key
-        # (negated), so the operand count matches the old single-key sort.
-        (keys_o, neg_tb_o, amps, ints, pids, lbls) = jax.lax.sort(
-            (ev_key, neg_tb, amp, integral, pads, labels),
-            dimension=0,
-            is_stable=True,
-            num_keys=2,
-        )
-        tbf = -neg_tb_o
-        evs = keys_o[:out_pool]
-
-        ok = jnp.arange(out_pool, dtype=jnp.int32) < n_keep
-        packed_f32 = jnp.stack(
-            [amps[:out_pool], ints[:out_pool], tbf[:out_pool]], axis=-1
-        )
+        # 15 bytes/row instead of 36
+        packed_f32 = jnp.stack([ampg, integral, tbf], axis=-1)
         packed_f32 = jnp.where(ok[:, None], packed_f32, 0.0)
         packed_i16 = jnp.stack(
             [
-                jnp.where(ok, pids[:out_pool], 0).astype(jnp.int16),
-                jnp.where(ok, lbls[:out_pool], -1).astype(jnp.int16),
+                jnp.where(ok, plg // 256, 0).astype(jnp.int16),
+                jnp.where(ok, plg % 256, -1).astype(jnp.int16),
             ],
             axis=-1,
         )
-
-        # per-event kept counts from the sorted event column
-        ev_range = jnp.arange(e + 1, dtype=jnp.int32)
-        bounds = jnp.searchsorted(evs, ev_range, side="left")
-        counts = (bounds[1:] - bounds[:-1]).astype(jnp.int32)
         return packed_f32, packed_i16, counts, out_overflow
 
     # ------------------------------------------------------------------ #
@@ -348,8 +375,11 @@ class DetectorSimulator:
         momenta: np.ndarray,
         assemble: bool = True,
         point_budget: int | None = None,
-        cloud_cap: int | None = None,
+        local_cap: int | None = None,
         out_budget: int | None = None,
+        n_steps: int | None = None,
+        compact: bool = False,
+        cloud_cap: int | None = None,
     ):
         """Simulate a batch of events.
 
@@ -381,9 +411,22 @@ class DetectorSimulator:
             jnp.asarray(gvs),
             e,
             point_budget=point_budget or self.engine.point_budget,
-            cloud_cap=cloud_cap or self.engine.cloud_cap,
+            local_cap=local_cap or self.engine.local_cap,
             out_budget=out_budget or self.engine.out_budget,
+            n_steps=n_steps or self.engine.n_time_steps,
         )
+        if compact:
+            # reference-protocol consumers need valid-rows-first layout
+            cc = compact_cloud(
+                {k: out[k] for k in (
+                    "pads", "tbs", "charges", "labels", "events",
+                    "cloud_valid", "counts",
+                )},
+                e,
+                cloud_cap or self.engine.cloud_cap,
+            )
+            out["cloud_overflow"] = cc.pop("overflow")
+            out.update(cc)
         if assemble:
             total = int(np.asarray(out["spyral_counts"]).sum())
             # pull full fixed-shape arrays (fresh slice shapes would compile
@@ -489,7 +532,7 @@ def run_simulation(
             self.kind = kind
             self.amount = amount
 
-    def pull_batch(out, n, eb):
+    def pull_batch(out, n, eb, cur_steps):
         """Pull one batch's results (device sync + tunnel transfer).
 
         Strictly ordered BEFORE the next dispatch: the device link is FIFO,
@@ -499,22 +542,32 @@ def run_simulation(
         Returns (counts, pf, pi, cloud_np, stats) where stats holds the
         per-event maxima used for budget auto-tuning."""
         with phase_timer(times, "pull-meta"):
-            # layout: kept counts[E], n_points[E], cloud counts[E], 3 flags
+            # layout: kept counts[E], n_points[E], cloud counts[E], then
+            # [out_overflow, local_overflow, pool_overflow, steps_alive,
+            #  local_max]
             meta = np.asarray(out["meta_i32"])
         counts = meta[:n]
         n_points = meta[eb : eb + n]
-        cl_counts_all = meta[2 * eb : 2 * eb + n]
-        out_overflow, seg_overflow, pool_overflow = meta[-3:]
+        out_overflow, local_overflow, pool_overflow, steps_alive, local_max = (
+            meta[-5:]
+        )
         if pool_overflow > 0:
             raise _PoolOverflow("point", int(pool_overflow))
-        if seg_overflow > 0:
-            raise _PoolOverflow("cloud", int(seg_overflow))
+        if local_overflow > 0:
+            raise _PoolOverflow("local", int(local_overflow))
         if out_overflow > 0:
             raise _PoolOverflow("out", int(out_overflow))
+        if "cloud_overflow" in out and int(np.asarray(out["cloud_overflow"])) > 0:
+            raise _PoolOverflow("cloud", int(np.asarray(out["cloud_overflow"])))
+        if steps_alive >= cur_steps and cur_steps < engine.n_time_steps:
+            # tracks were still alive when the tuned-down window ended:
+            # deposits may be missing vs the physics window — retry larger
+            raise _PoolOverflow("steps", int(steps_alive))
         stats = (
-            int(n_points.sum()),
-            int(cl_counts_all.sum()),
+            int(n_points.max(initial=0)),
+            int(local_max),
             int(counts.sum()),
+            int(steps_alive),
         )
         # Slice lengths are quantized to a coarse grid: a fresh length every
         # batch would mean a fresh slice-program compilation every batch
@@ -532,8 +585,10 @@ def run_simulation(
                 pi = np.asarray(out["packed_i16"][:total_q])[:total]
             return counts, pf, pi, None, stats
         # reference SimulationWriter protocol path: pull the raw cloud
+        # (compacted on device by simulate_batch(compact=True), so the
+        # counts come from the compacted layout, not the meta block)
         with phase_timer(times, "pull-cloud"):
-            cl_counts = cl_counts_all
+            cl_counts = np.asarray(out["counts"])[:n]
             cl_total = int(cl_counts.sum())
             cl_q = quantize(cl_total, out["pads"].shape[0])
             raw = np.stack(
@@ -596,9 +651,13 @@ def run_simulation(
 
     budgets = {
         "point": engine.point_budget,
+        "local": engine.local_cap,
         "cloud": engine.cloud_cap,
         "out": engine.out_budget,
+        "steps": engine.n_time_steps,
     }
+    raw_writer = not hasattr(writer, "write_spyral_pool")
+    chunk = engine.chunk_steps
     tuned = not auto_tune
     try:
         for start in range(start_event, stop, eb):
@@ -617,25 +676,47 @@ def run_simulation(
                     out = sim.simulate_batch(
                         key, vertices, momenta, assemble=False,
                         point_budget=budgets["point"],
-                        cloud_cap=budgets["cloud"],
+                        local_cap=budgets["local"],
                         out_budget=budgets["out"],
+                        n_steps=budgets["steps"],
+                        compact=raw_writer,
+                        cloud_cap=budgets["cloud"],
                     )
                 try:
-                    counts, pf, pi, cloud_np, stats = pull_batch(out, n, eb)
+                    counts, pf, pi, cloud_np, stats = pull_batch(
+                        out, n, eb, budgets["steps"]
+                    )
                     break
                 except _PoolOverflow as ov:
-                    budgets[ov.kind] *= 2
-                    if budgets[ov.kind] > 2**21:
-                        raise
+                    if ov.kind == "steps":
+                        budgets["steps"] = min(
+                            round_up(budgets["steps"] * 2, chunk),
+                            engine.n_time_steps,
+                        )
+                    elif ov.kind == "local":
+                        budgets["local"] = min(budgets["local"] * 2, 100)
+                    else:
+                        budgets[ov.kind] *= 2
+                        if budgets[ov.kind] > 2**21:
+                            raise
             else:
                 raise RuntimeError("pool budgets failed to converge")
             write_out((counts, pf, pi, cloud_np, start, n))
             if not tuned:
                 # retighten to the observed first-batch multiplicities
-                pts, segs, kept = (s / eb for s in stats)
-                budgets["point"] = min(budgets["point"], round_up(pts * 1.6, 256))
-                budgets["cloud"] = min(budgets["cloud"], round_up(segs * 1.4, 2048))
-                budgets["out"] = min(budgets["out"], round_up(kept * 1.4, 2048))
+                pts_max, local_max, kept, steps_alive = stats
+                budgets["point"] = min(
+                    budgets["point"], round_up(pts_max * 1.3, 64)
+                )
+                budgets["local"] = min(
+                    budgets["local"], max(round_up(local_max * 1.3, 8), 8)
+                )
+                budgets["out"] = min(
+                    budgets["out"], round_up(kept / eb * 1.4, 2048)
+                )
+                budgets["steps"] = min(
+                    round_up(steps_alive * 1.3, chunk), engine.n_time_steps
+                )
                 tuned = True
         if timing:
             import sys

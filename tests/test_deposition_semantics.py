@@ -154,6 +154,85 @@ def test_merge_matches_reference_semantics(geometry):
             )
 
 
+def test_no_event_count_ceiling(geometry):
+    """Round-1 packed int32 keys capped batches at 409 events; the windowed
+    merge keys are per-event (pad * 512 + tb) so any batch size works."""
+    config = geometry
+    rng = np.random.default_rng(5)
+    n_events, k_tracks, t_steps = 512, 1, 4
+    b = n_events * k_tracks
+
+    positions = np.zeros((t_steps, b, 3), dtype=np.float32)
+    positions[:, :, 0] = rng.uniform(-0.1, 0.1, (t_steps, b))
+    positions[:, :, 1] = rng.uniform(-0.1, 0.1, (t_steps, b))
+    positions[:, :, 2] = rng.uniform(0.3, 0.7, (t_steps, b))
+    electrons = rng.integers(100, 2000, (t_steps, b)).astype(np.int32)
+    valid = np.ones((t_steps, b), dtype=bool)
+    track_labels = np.full(b, 2, dtype=np.int32)
+
+    dev = config.device_arrays()
+    out = deposit_and_merge(
+        jax.random.PRNGKey(0),
+        jnp.asarray(positions), jnp.asarray(electrons), jnp.asarray(valid),
+        jnp.asarray(track_labels),
+        dev["key_grid_mm"],
+        grid_lo_mm=dev["grid_lo_mm"],
+        grid_n_mm=dev["grid_n_mm"],
+        diffusion=0.277, efield=45000.0,
+        drift_velocity=config.drift_velocity,
+        micromegas_edge=10.0, length=1.0, mpgd_gain=1000.0,
+        n_events=n_events, tracks_per_event=k_tracks,
+        point_budget=8,
+    )
+    counts = np.asarray(out["counts"])
+    assert counts.shape == (512,)
+    assert int(np.asarray(out["pool_overflow"])) == 0
+    assert (counts > 0).sum() > 500  # nearly every event lands pads
+    # events array addresses the full range
+    events = np.asarray(out["events"])[np.asarray(out["cloud_valid"])]
+    assert events.min() == 0 and events.max() == 511
+
+
+def test_local_cap_overflow_counted(geometry):
+    """A too-small local_cap must not silently drop charge: the overflow
+    counter reports it so the driver can double and retry."""
+    config = geometry
+    rng = np.random.default_rng(7)
+    t_steps, b = 8, 2
+    positions = np.zeros((t_steps, b, 3), dtype=np.float32)
+    positions[:, :, 2] = 0.3  # large drift -> large sigma -> many pads
+    positions[:, :, 0] = rng.uniform(-0.05, 0.05, (t_steps, b))
+    positions[:, :, 1] = rng.uniform(-0.05, 0.05, (t_steps, b))
+    electrons = np.full((t_steps, b), 5000, dtype=np.int32)
+    valid = np.ones((t_steps, b), dtype=bool)
+    labels = np.array([2, 3], dtype=np.int32)
+    dev = config.device_arrays()
+
+    def run(local_cap):
+        return deposit_and_merge(
+            jax.random.PRNGKey(0),
+            jnp.asarray(positions), jnp.asarray(electrons),
+            jnp.asarray(valid), jnp.asarray(labels),
+            dev["key_grid_mm"],
+            grid_lo_mm=dev["grid_lo_mm"], grid_n_mm=dev["grid_n_mm"],
+            diffusion=0.277, efield=45000.0,
+            drift_velocity=config.drift_velocity,
+            micromegas_edge=10.0, length=1.0, mpgd_gain=1000.0,
+            n_events=1, tracks_per_event=2, point_budget=16,
+            local_cap=local_cap,
+        )
+
+    small = run(4)
+    assert int(np.asarray(small["seg_overflow"])) > 0
+    big = run(100)
+    assert int(np.asarray(big["seg_overflow"])) == 0
+    assert int(np.asarray(big["local_max"])) > 4
+    # the overflow-free run keeps strictly more charge
+    assert float(np.asarray(big["charges"]).sum()) > float(
+        np.asarray(small["charges"]).sum()
+    )
+
+
 def _extract_clouds(out, n_events):
     """out dict -> list of {key: (charge, label)} per event, robust to the
     per-event [E, C] or pooled layout."""
