@@ -91,6 +91,12 @@ class DetectorSimulator:
         [2, 4, 6, ..., N-1] (reference simulator.py:153-158). Neutral
         (Z == 0) nuclei are skipped (simulator.py:97).
     engine: EngineParams
+    mesh: jax.sharding.Mesh | None
+        Optional 1-D device mesh: batches whose event count divides the
+        mesh size are event-sharded across it (inputs are placed with
+        event-axis shardings; XLA propagates the partitioning through the
+        whole program — events are independent by construction). Physics is
+        layout-independent.
     """
 
     def __init__(
@@ -100,9 +106,11 @@ class DetectorSimulator:
         mass_numbers: np.ndarray,
         indices: list[int] | None = None,
         engine: EngineParams | None = None,
+        mesh=None,
     ):
         self.config = config
         self.engine = engine or EngineParams()
+        self.mesh = mesh
         if indices is None:
             indices = list(range(2, len(proton_numbers), 2))
             indices.append(len(proton_numbers) - 1)
@@ -405,10 +413,16 @@ class DetectorSimulator:
         # initial gamma*beta = p / m (reference solver.py:273), f64 on host
         p3 = momenta[:, self.sim_indices, :3]  # [E, K, 3]
         gvs = (p3 / self.track_masses[None, :, None]).astype(np.float32)
+        v_dev = jnp.asarray(vertices, dtype=jnp.float32)
+        g_dev = jnp.asarray(gvs)
+        if self.mesh is not None and e % self.mesh.size == 0:
+            from ..parallel.mesh import shard_events
+
+            v_dev, g_dev = shard_events(self.mesh, v_dev, g_dev)
         out = self._sim_jit(
             key,
-            jnp.asarray(vertices, dtype=jnp.float32),
-            jnp.asarray(gvs),
+            v_dev,
+            g_dev,
             e,
             point_budget=point_budget or self.engine.point_budget,
             local_cap=local_cap or self.engine.local_cap,
@@ -483,12 +497,16 @@ def run_simulation(
     start_event: int = 0,
     stop_event: int | None = None,
     auto_tune: bool = True,
+    use_mesh: bool = True,
 ):
     """Run the detector simulation over a kinematics file.
 
     Batched analog of the reference driver (simulator.py:118-210): reads
     event batches (either kinematics schema), simulates them as single XLA
     program executions, and hands Spyral-formatted batches to the writer.
+    When more than one device is visible (and events_per_batch divides
+    evenly), each batch is event-sharded across the device mesh and the
+    host gather feeding the writer collects from all shards.
 
     Resume/checkpointing: per-batch RNG keys derive from
     fold_in(seed, event_start), so an interrupted run restarted with the
@@ -504,12 +522,19 @@ def run_simulation(
     times = PhaseTimes()
     engine = engine or EngineParams()
     reader = KinematicsReader(input_path)
+    mesh = None
+    eb_div = engine.events_per_batch % len(jax.devices()) == 0
+    if use_mesh and len(jax.devices()) > 1 and eb_div:
+        from ..parallel.mesh import event_mesh
+
+        mesh = event_mesh()
     sim = DetectorSimulator(
         config,
         reader.proton_numbers,
         reader.mass_numbers,
         indices=indices,
         engine=engine,
+        mesh=mesh,
     )
     if seed is None:
         seed = int(np.random.SeedSequence().entropy % (2**31))

@@ -70,7 +70,10 @@ class PolarArbitrary:
         probabilities: np.ndarray,
         angle_bin_width: float,
     ):
-        if np.sum(probabilities) > 1.0:
+        # the reference's rng.choice(p=...) requires the probabilities to
+        # sum to exactly 1 (within numpy's internal atol); silently
+        # renormalizing a sum < 1 would be a hidden distribution divergence
+        if abs(float(np.sum(probabilities)) - 1.0) > 1.0e-6:
             raise ValueError(
                 "The sum of the probabilities passed to PolarArbitrary should be 1.0."
                 f" Yours sum to {np.sum(probabilities)}"

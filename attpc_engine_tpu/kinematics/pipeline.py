@@ -203,6 +203,7 @@ class KinematicsPipeline:
             self._eloss_grid = None
 
         self._run_batch_jit = jax.jit(self._run_batch_impl, static_argnames=("n",))
+        self._sharded_jits: dict = {}  # mesh -> sharded jit (see run_batch)
         # host-side default key for the compatibility run() API
         self._host_key = jax.random.PRNGKey(np.random.SeedSequence().entropy % (2**63))
 
@@ -331,8 +332,31 @@ class KinematicsPipeline:
     # public API                                                           #
     # ------------------------------------------------------------------ #
 
+    def _sharded_run_batch(self, mesh):
+        """Jitted batch sampler with event-sharded outputs over ``mesh``.
+
+        The sampler has no array inputs to propagate shardings from, so the
+        device placement is forced through out_shardings; XLA back-propagates
+        the event partitioning through the whole rejection-resampling loop
+        (per-event lanes are independent by construction)."""
+        cached = self._sharded_jits.get(mesh)
+        if cached is None:
+            from ..parallel.mesh import event_sharding
+
+            cached = jax.jit(
+                self._run_batch_impl,
+                static_argnames=("n",),
+                out_shardings=(
+                    event_sharding(mesh, 2),
+                    event_sharding(mesh, 3),
+                    event_sharding(mesh, 1),
+                ),
+            )
+            self._sharded_jits[mesh] = cached
+        return cached
+
     def run_batch(
-        self, n: int, key: jax.Array | None = None
+        self, n: int, key: jax.Array | None = None, mesh=None
     ) -> tuple[np.ndarray, np.ndarray]:
         """Sample ``n`` valid events as one jitted program.
 
@@ -343,6 +367,10 @@ class KinematicsPipeline:
         key: jax.Array | None
             JAX PRNG key; if None, an internal host key is split off
             (non-reproducible convenience, like the reference's default_rng).
+        mesh: jax.sharding.Mesh | None
+            Optional device mesh: the batch is event-sharded across it
+            (n must be divisible by the mesh size). Physics is independent
+            of the layout (counter-based partitionable RNG).
 
         Returns
         -------
@@ -360,7 +388,10 @@ class KinematicsPipeline:
         """
         if key is None:
             self._host_key, key = jax.random.split(self._host_key)
-        vertices, momenta, accepted = self._run_batch_jit(key, n)
+        if mesh is not None and n % mesh.size == 0:
+            vertices, momenta, accepted = self._sharded_run_batch(mesh)(key, n)
+        else:
+            vertices, momenta, accepted = self._run_batch_jit(key, n)
         accepted = np.asarray(accepted)
         if not accepted.all():
             n_bad = int((~accepted).sum())
@@ -432,11 +463,15 @@ def run_kinematics_pipeline(
     seed: int | None = None,
     schema: str = "columnar",
     show_progress: bool = True,
+    use_mesh: bool = True,
 ) -> None:
     """Run a pipeline for ``n_events`` and write the result to HDF5.
 
     Batched TPU analog of the reference driver (pipeline.py:429-495):
     events are sampled in jitted device batches and written per batch.
+    When more than one device is visible (and the batch divides evenly),
+    each batch is event-sharded across the device mesh; physics is
+    independent of the layout (counter-based partitionable RNG).
 
     Parameters
     ----------
@@ -457,6 +492,13 @@ def run_kinematics_pipeline(
         root attrs as the reference. "reference": bit-compatible with the
         reference's per-event dataset layout
         (/data/chunk_k/event_i, pipeline.py:449-493).
+        NOTE: this engine's detector stage and converter read both schemas,
+        but the REFERENCE engine's tools only read "reference" — pass
+        schema="reference" for files a reference install must consume.
+    use_mesh: bool
+        Event-shard each batch across all visible devices (default True;
+        only takes effect when > 1 device is visible and batch_size divides
+        evenly).
     """
     from ..io.kinematics_file import KinematicsWriter  # local import: avoid cycle
 
@@ -483,6 +525,16 @@ def run_kinematics_pipeline(
         except ImportError:
             pass
 
+    mesh = None
+    if use_mesh and len(jax.devices()) > 1 and batch_size % len(jax.devices()) == 0:
+        from ..parallel.mesh import event_mesh
+
+        mesh = event_mesh()
+    sampler = (
+        pipeline._sharded_run_batch(mesh) if mesh is not None
+        else pipeline._run_batch_jit
+    )
+
     written = 0
     batch_index = 0
     pending = None  # double buffering: write batch k while k+1 computes
@@ -492,7 +544,7 @@ def run_kinematics_pipeline(
             key = jax.random.fold_in(base_key, batch_index)
             # always sample the full batch shape (a tail-sized batch would
             # compile a fresh program); surplus lanes are dropped on write
-            vertices, momenta, accepted = pipeline._run_batch_jit(key, batch_size)
+            vertices, momenta, accepted = sampler(key, batch_size)
             if pending is not None:
                 _drain_kinematics_batch(pipeline, writer, progress, pending)
             pending = (vertices, momenta, accepted, n)

@@ -145,10 +145,12 @@ class NuclearDataMap:
         if cached is not None:
             return cached
         z, a = key
-        if z < 0 or a < 1 or z > a and not (z == 1 and a == 1) and a != 0:
-            # allow bare protons etc.; reject clearly unphysical requests
-            if z > a:
-                raise ValueError(f"Invalid nuclide Z={z} A={a} (Z > A)")
+        if z < 0:
+            raise ValueError(f"Invalid nuclide Z={z} A={a} (Z < 0)")
+        if a < 1:
+            raise ValueError(f"Invalid nuclide Z={z} A={a} (A < 1)")
+        if z > a:
+            raise ValueError(f"Invalid nuclide Z={z} A={a} (Z > A)")
         if z >= len(ELEMENT_SYMBOLS):
             raise ValueError(f"Unsupported element Z={z}")
         excess = self._excess_kev.get(key)

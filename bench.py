@@ -14,7 +14,7 @@ reference engine publishes no benchmarks (BASELINE.md), so the north star is
 the comparison anchor.
 
 Env knobs: BENCH_EVENTS (default 20000), BENCH_BATCH (detector events per
-XLA execution, default 128), BENCH_OUTDIR (default a temp dir).
+XLA execution, default 384), BENCH_OUTDIR (default a temp dir).
 """
 
 from __future__ import annotations

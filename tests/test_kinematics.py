@@ -15,7 +15,6 @@ from attpc_engine_tpu import nuclear_map
 from attpc_engine_tpu.kinematics import (
     KinematicsPipeline,
     ExcitationGaussian,
-    ExcitationUniform,
     PolarUniform,
     Reaction,
     Decay,

@@ -27,7 +27,6 @@ def test_native_matches_python():
     os.environ["ATTPC_TPU_NO_NATIVE"] = "1"
     try:
         # bypass the cached lib by calling the numpy body directly
-        import importlib
         from attpc_engine_tpu.nuclear import stopping as stopping_mod
         import attpc_engine_tpu.native as native_mod
 

@@ -33,6 +33,35 @@ def test_mass_fallback_estimated():
     assert 7.5 < be_per_a < 9.0
 
 
+def test_get_data_rejects_invalid_nuclides():
+    """Z < 0, A < 1 and Z > A must raise before any arithmetic
+    (round-1 short-circuit bug let them reach the SEMF fallback)."""
+    with pytest.raises(ValueError):
+        nuclear_map.get_data(-1, 4)
+    with pytest.raises(ValueError):
+        nuclear_map.get_data(3, 0)
+    with pytest.raises(ValueError):
+        nuclear_map.get_data(3, -2)
+    with pytest.raises(ValueError):
+        nuclear_map.get_data(5, 3)
+    # boundary cases stay valid
+    assert nuclear_map.get_data(1, 1).Z == 1  # bare proton
+    assert nuclear_map.get_data(0, 1).isotopic_symbol == "n"  # neutron
+
+
+def test_polar_arbitrary_requires_normalized_probs():
+    """The reference's rng.choice(p=...) needs sum(p) == 1; sums below 1
+    must not be silently renormalized."""
+    from attpc_engine_tpu.kinematics import PolarArbitrary
+
+    angles = np.linspace(0.0, 1.0, 5)
+    with pytest.raises(ValueError):
+        PolarArbitrary(angles, np.full(5, 0.1), 0.25)  # sums to 0.5
+    with pytest.raises(ValueError):
+        PolarArbitrary(angles, np.full(5, 0.3), 0.25)  # sums to 1.5
+    PolarArbitrary(angles, np.full(5, 0.2), 0.25)  # exactly 1 is fine
+
+
 def test_gas_target_density():
     """D2 at 300 Torr: ideal-gas density."""
     gas = GasTarget([(1, 2, 2)], 300.0, nuclear_map)

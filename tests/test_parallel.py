@@ -5,7 +5,6 @@ import numpy as np
 import jax
 
 from attpc_engine_tpu.parallel import event_mesh, shard_events
-from attpc_engine_tpu.parallel.mesh import event_sharding
 
 
 def test_virtual_mesh_present():
@@ -30,6 +29,53 @@ def test_dryrun_multichip():
     import __graft_entry__ as graft
 
     graft.dryrun_multichip(8)
+
+
+def test_run_simulation_multidevice_end_to_end(tmp_path):
+    """The PRODUCTION driver sharded over 8 virtual devices writes the same
+    HDF5 event content as the single-device run (same seed)."""
+    import sys
+    from pathlib import Path
+
+    import h5py
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from __graft_entry__ import _tiny_setup
+    from attpc_engine_tpu.detector import EngineParams, SpyralWriter
+    from attpc_engine_tpu.detector.simulator import run_simulation
+    from attpc_engine_tpu.kinematics import run_kinematics_pipeline
+
+    pipeline, sim = _tiny_setup(events_per_batch=16)
+    kine = tmp_path / "kine.h5"
+    run_kinematics_pipeline(pipeline, 16, kine, seed=21, show_progress=False)
+
+    def run(outdir, use_mesh):
+        outdir.mkdir()
+        engine = EngineParams(
+            n_time_steps=500, chunk_steps=250, point_budget=512,
+            out_budget=8192, events_per_batch=16,
+        )
+        run_simulation(
+            sim.config, kine, SpyralWriter(outdir, sim.config),
+            engine=engine, seed=21, show_progress=False, auto_tune=False,
+            use_mesh=use_mesh,
+        )
+        out = {}
+        with h5py.File(outdir / "run_0000.h5") as f:
+            for k in f["cloud"]:
+                out[k] = np.asarray(f["cloud"][k])
+        return out
+
+    single = run(tmp_path / "single", use_mesh=False)
+    sharded = run(tmp_path / "sharded", use_mesh=True)
+    assert len(jax.devices()) == 8  # conftest mesh really was available
+    assert single.keys() == sharded.keys()
+    for k in single:
+        np.testing.assert_allclose(
+            sharded[k], single[k], rtol=2e-5, atol=2e-3,
+            err_msg=f"dataset {k}",
+        )
+        assert single[k].shape == sharded[k].shape
 
 
 def test_sharded_matches_single_device():

@@ -30,7 +30,6 @@ STEPS = int(os.environ.get("STEPS", "10000"))
 def main():
     import jax.numpy as jnp
 
-    from attpc_engine_tpu import nuclear_map
     from attpc_engine_tpu.detector.deposition import (
         MESH_STEPS,
         NUM_TB,
