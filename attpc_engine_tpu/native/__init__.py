@@ -56,7 +56,7 @@ def get_stopping_lib():
     d = ctypes.POINTER(ctypes.c_double)
     lib.mass_stopping_power.argtypes = [
         ctypes.c_int, ctypes.c_double, d, ctypes.c_int,
-        d, d, d, ctypes.c_int, d,
+        d, d, d, ctypes.c_int, ctypes.c_double, d,
     ]
     lib.mass_stopping_power.restype = None
     lib.csda_range.argtypes = [d, d, ctypes.c_int, d]
@@ -70,6 +70,7 @@ def native_mass_stopping_power(
     mass_mev: float,
     ke_mev: np.ndarray,
     constituents: list[tuple[int, int, float]],
+    i_override_ev: float | None = None,
 ) -> np.ndarray | None:
     """C++ stopping power; returns None if the native lib is unavailable."""
     lib = get_stopping_lib()
@@ -86,6 +87,7 @@ def native_mass_stopping_power(
         ke.ctypes.data_as(d), len(ke),
         z_t.ctypes.data_as(d), a_t.ctypes.data_as(d), w_t.ctypes.data_as(d),
         len(constituents),
+        float(i_override_ev or 0.0),
         out.ctypes.data_as(d),
     )
     return out.reshape(np.shape(ke_mev))

@@ -114,6 +114,27 @@ class GasTarget:
         self._tables[key] = (log_ke, dedx, rng)
         return self._tables[key]
 
+    def load_dedx_npz(self, path) -> int:
+        """Load external stopping tables (e.g. a CATIMA export produced by
+        ``tools/make_catima_tables.py``) for exact physics parity.
+
+        The npz holds ``ke_mev [n]`` plus ``dedx_{Z}_{A} [n]`` arrays; every
+        species present is installed via :meth:`set_custom_dedx`. Returns
+        the number of species loaded."""
+        from .masses import NuclearDataMap
+
+        data = np.load(path)
+        ke = data["ke_mev"]
+        count = 0
+        lookup = NuclearDataMap()
+        for name in data.files:
+            if not name.startswith("dedx_"):
+                continue
+            _, z, a = name.split("_")
+            self.set_custom_dedx(lookup.get_data(int(z), int(a)), ke, data[name])
+            count += 1
+        return count
+
     def set_custom_dedx(
         self, nucleus: NucleusData, ke_mev: np.ndarray, dedx: np.ndarray
     ) -> None:

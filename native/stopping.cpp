@@ -4,10 +4,12 @@
 // (/root/reference/src/attpc_engine/detector/solver.py:65 calls it per ODE
 // step; here tables are generated once). Implements the same physics model
 // as attpc_engine_tpu/nuclear/stopping.py — Bethe-Bloch electronic stopping
-// with Barkas effective charge and a velocity-proportional continuation
-// below the Bragg peak, Bragg additivity over constituents — in C++ for
-// fast bulk table generation (many species x many materials at engine
-// startup or in table-precomputation sweeps).
+// with effective projectile charge (weaker proton form, calibrated against
+// PSTAR water anchors), an Andersen-Ziegler-shaped E^0.45 continuation
+// below the Bethe peak with a Lindhard-Scharff floor, ZBL universal
+// nuclear stopping, Bragg additivity over constituents — in C++ for fast
+// bulk table generation (many species x many materials at engine startup
+// or in table-precomputation sweeps).
 //
 // Build: g++ -O3 -shared -fPIC -o libstopping.so stopping.cpp
 // ABI: plain C functions over double arrays (ctypes-friendly).
@@ -21,6 +23,7 @@ namespace {
 constexpr double K_BETHE = 0.307075;     // MeV cm^2 / mol
 constexpr double ME_C2 = 0.51099895;     // MeV
 constexpr double MP_U = 931.49410242;    // MeV per u
+constexpr double NA_SCALE = 1e-21 * 6.02214076e23;  // eV/(1e15 at/cm^2) -> MeV cm^2/mol
 
 // ICRU-37-style mean excitation energies (eV), Z = 1..54; 10*Z beyond.
 constexpr double I_EV[55] = {
@@ -37,18 +40,27 @@ double mean_excitation_ev(int z) {
 }
 
 // Bethe-Bloch electronic mass stopping power, MeV cm^2/g, for one energy.
+// i_override > 0: compound mean excitation energy (eV) replacing the
+// per-constituent Bragg-additivity I-values (e.g. liquid water I = 75).
 double bethe(double z_proj, double mass_mev, double ke,
              const double* z_t, const double* a_t, const double* w_t,
-             int n_const) {
+             int n_const, double i_override) {
     double gamma = 1.0 + ke / mass_mev;
     double beta2 = 1.0 - 1.0 / (gamma * gamma);
     if (beta2 < 1e-30) beta2 = 1e-30;
     double beta = std::sqrt(beta2);
-    double z_eff =
-        z_proj * (1.0 - std::exp(-125.0 * beta * std::pow(z_proj, -2.0 / 3.0)));
+    double z_eff;
+    if (z_proj == 1.0) {
+        z_eff = 1.0 - std::exp(-300.0 * beta);
+    } else {
+        z_eff = z_proj *
+                (1.0 - std::exp(-130.0 * beta * std::pow(z_proj, -2.0 / 3.0)));
+    }
     double s = 0.0;
     for (int i = 0; i < n_const; ++i) {
-        double i_mev = mean_excitation_ev((int)z_t[i]) * 1e-6;
+        double i_ev =
+            i_override > 0.0 ? i_override : mean_excitation_ev((int)z_t[i]);
+        double i_mev = i_ev * 1e-6;
         double arg = 2.0 * ME_C2 * beta2 * gamma * gamma / i_mev;
         if (arg < 1.0) arg = 1.0;
         double log_term = std::log(arg) - beta2;
@@ -59,19 +71,63 @@ double bethe(double z_proj, double mass_mev, double ke,
     return s;
 }
 
+// Lindhard-Scharff velocity-proportional electronic stopping, MeV cm^2/g.
+double lindhard_scharff(double z_proj, double a_proj, double ke,
+                        const double* z_t, const double* a_t,
+                        const double* w_t, int n_const) {
+    double e_kev = ke > 0.0 ? ke * 1e3 : 0.0;
+    double s = 0.0;
+    for (int i = 0; i < n_const; ++i) {
+        double z = z_t[i];
+        double s_units =
+            1.212 * std::pow(z_proj, 7.0 / 6.0) * z /
+            std::pow(std::pow(z_proj, 2.0 / 3.0) + std::pow(z, 2.0 / 3.0),
+                     1.5) *
+            std::sqrt(e_kev / a_proj);
+        s += w_t[i] * s_units * NA_SCALE / a_t[i];
+    }
+    return s;
+}
+
+// ZBL universal nuclear mass stopping power, MeV cm^2/g.
+double zbl_nuclear(double z_proj, double a_proj, double ke, const double* z_t,
+                   const double* a_t, const double* w_t, int n_const) {
+    double e_kev = ke > 0.0 ? ke * 1e3 : 0.0;
+    double s = 0.0;
+    for (int i = 0; i < n_const; ++i) {
+        double z = z_t[i], a = a_t[i];
+        double dz = std::pow(z_proj, 0.23) + std::pow(z, 0.23);
+        double eps = 32.53 * a * e_kev / (z_proj * z * (a_proj + a) * dz);
+        if (eps < 1e-12) eps = 1e-12;
+        double sn_red;
+        if (eps <= 30.0) {
+            sn_red = std::log1p(1.1383 * eps) /
+                     (2.0 * (eps + 0.01321 * std::pow(eps, 0.21226) +
+                             0.19593 * std::sqrt(eps)));
+        } else {
+            sn_red = std::log(eps) / (2.0 * eps);
+        }
+        double s_units = 8.462 * z_proj * z * a_proj / ((a_proj + a) * dz) *
+                         sn_red;
+        s += w_t[i] * s_units * NA_SCALE / a;
+    }
+    return s;
+}
+
 }  // namespace
 
 extern "C" {
 
-// Mass stopping power with low-energy continuation, matching the Python
-// implementation bit-for-bit in structure (same peak scan and sqrt law).
+// Mass stopping power matching the Python implementation in structure
+// (same peak scan, same E^0.45 tail + LS floor + ZBL nuclear).
 //   z_proj, mass_mev: projectile
 //   ke[n]: kinetic energies (MeV) -> out[n] (MeV cm^2/g)
 //   z_t/a_t/w_t[n_const]: constituent Z, A, mass fraction
 void mass_stopping_power(int z_proj, double mass_mev, const double* ke,
                          int n, const double* z_t, const double* a_t,
-                         const double* w_t, int n_const, double* out) {
-    // locate the Bragg peak on the same 1024-point geomspace scan as Python
+                         const double* w_t, int n_const, double i_override,
+                         double* out) {
+    // locate the Bethe peak on the same 1024-point geomspace scan as Python
     double a_proj = mass_mev / MP_U;
     if (a_proj < 0.5) a_proj = 0.5;
     const int n_scan = 1024;
@@ -80,20 +136,26 @@ void mass_stopping_power(int z_proj, double mass_mev, const double* ke,
     double e_peak = lo, s_peak = 0.0;
     for (int i = 0; i < n_scan; ++i) {
         double e = std::exp(log_lo + i * dlog);
-        double s = bethe(z_proj, mass_mev, e, z_t, a_t, w_t, n_const);
+        double s = bethe(z_proj, mass_mev, e, z_t, a_t, w_t, n_const,
+                         i_override);
         if (s > s_peak) {
             s_peak = s;
             e_peak = e;
         }
     }
+    double peak_scale = s_peak / std::pow(e_peak, 0.45);
     for (int i = 0; i < n; ++i) {
         double e = ke[i];
+        double s;
         if (e < e_peak) {
-            double ratio = e > 0.0 ? e / e_peak : 0.0;
-            out[i] = s_peak * std::sqrt(ratio);
+            s = e > 0.0 ? peak_scale * std::pow(e, 0.45) : 0.0;
+            double s_ls =
+                lindhard_scharff(z_proj, a_proj, e, z_t, a_t, w_t, n_const);
+            if (s_ls > s) s = s_ls;
         } else {
-            out[i] = bethe(z_proj, mass_mev, e, z_t, a_t, w_t, n_const);
+            s = bethe(z_proj, mass_mev, e, z_t, a_t, w_t, n_const, i_override);
         }
+        out[i] = s + zbl_nuclear(z_proj, a_proj, e, z_t, a_t, w_t, n_const);
     }
 }
 

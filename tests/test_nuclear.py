@@ -102,6 +102,63 @@ def test_energy_loss_consistency():
     assert loss_far == pytest.approx(e0, rel=1e-6)
 
 
+def test_stopping_golden_pstar_water():
+    """Electronic+nuclear stopping of protons in liquid water against PSTAR
+    golden values (liquid water compound I = 75 eV via i_override_ev)."""
+    from attpc_engine_tpu.nuclear.stopping import (
+        build_range_table,
+        mass_stopping_power,
+    )
+
+    water = [(1, 1.008, 0.1119), (8, 15.999, 0.8881)]
+    anchors = {0.1: 818.0, 0.3: 550.0, 1.0: 260.8, 10.0: 45.67, 100.0: 7.289}
+    kes = np.array(sorted(anchors))
+    got = mass_stopping_power(1, 938.272, kes, water, i_override_ev=75.0)
+    for e, g in zip(sorted(anchors), got):
+        assert g == pytest.approx(anchors[e], rel=0.06), f"{e} MeV"
+
+    # CSDA ranges (PSTAR): 10 MeV -> 0.1230 g/cm^2, 100 MeV -> 7.718 g/cm^2
+    log_ke = np.log(np.geomspace(1e-6, 200.0, 4096))
+    dedx = mass_stopping_power(1, 938.272, np.exp(log_ke), water, i_override_ev=75.0)
+    _, rng = build_range_table(log_ke, dedx)
+    r10 = np.interp(np.log(10.0), log_ke, rng)
+    r100 = np.interp(np.log(100.0), log_ke, rng)
+    assert r10 == pytest.approx(0.1230, rel=0.05)
+    assert r100 == pytest.approx(7.718, rel=0.03)
+
+
+def test_stopping_golden_astar_alpha_air():
+    """Alpha CSDA range in air at 5.49 MeV (Am-241) vs the ASTAR value
+    (~4.0 cm at NTP, ~4.85 mg/cm^2). The model omits the z^3 Barkas and
+    shell corrections (largest for z >= 2 near ~1 MeV/u), giving a known
+    +13% range bias — the assertion bounds it so regressions are caught."""
+    from attpc_engine_tpu.nuclear.stopping import (
+        build_range_table,
+        mass_stopping_power,
+    )
+
+    air = [(7, 14.007, 0.755), (8, 15.999, 0.232), (18, 39.948, 0.013)]
+    log_ke = np.log(np.geomspace(1e-6, 10.0, 4096))
+    dedx = mass_stopping_power(2, 3727.379, np.exp(log_ke), air)
+    _, rng = build_range_table(log_ke, dedx)
+    r = np.interp(np.log(5.49), log_ke, rng)
+    assert 4.85e-3 * 0.95 < r < 4.85e-3 * 1.20
+
+
+def test_stopping_low_energy_positive_and_continuous():
+    """The low-energy construction (E^0.45 tail + LS floor + ZBL nuclear)
+    must be positive and free of large jumps down to 1 keV/u."""
+    from attpc_engine_tpu.nuclear.stopping import mass_stopping_power
+
+    d2 = [(1, 2, 1.0)]
+    ke = np.geomspace(1e-3, 100.0, 2000)
+    for zp, m in ((1, 938.272), (2, 3727.379), (6, 11174.86)):
+        s = mass_stopping_power(zp, m, ke, d2)
+        assert np.all(s > 0)
+        ratio = s[1:] / s[:-1]
+        assert ratio.max() < 1.2 and ratio.min() > 0.8  # no discontinuities
+
+
 def test_range_alpha():
     """Alpha range in D2 gas at 300 Torr: sane order of magnitude (meters)."""
     gas = GasTarget([(1, 2, 2)], 300.0, nuclear_map)
@@ -109,6 +166,21 @@ def test_range_alpha():
     r = gas.get_range(alpha, 10.0)
     # ~10 MeV alpha in ~6.6e-5 g/cm3 gas: tens of cm to meters
     assert 0.1 < r < 20.0
+
+
+def test_load_dedx_npz_roundtrip(tmp_path):
+    """External tables (CATIMA-export format) override the analytic model."""
+    gas = GasTarget([(1, 2, 2)], 300.0, nuclear_map)
+    proton = nuclear_map.get_data(1, 1)
+    ke = np.geomspace(1e-5, 1000.0, 512)
+    fake = 123.0 * np.ones_like(ke)  # unmistakably not the model
+    np.savez(tmp_path / "tables.npz", ke_mev=ke, dedx_1_1=fake)
+    n = gas.load_dedx_npz(tmp_path / "tables.npz")
+    assert n == 1
+    assert gas.get_dedx(proton, 1.0) == pytest.approx(123.0, rel=1e-6)
+    # other species still come from the analytic model
+    alpha = nuclear_map.get_data(2, 4)
+    assert gas.get_dedx(alpha, 1.0) != pytest.approx(123.0, rel=0.5)
 
 
 def test_load_target_json(tmp_path):
