@@ -17,6 +17,7 @@ Pipeline inside the jitted program:
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -684,6 +685,7 @@ def run_simulation(
     raw_writer = not hasattr(writer, "write_spyral_pool")
     chunk = engine.chunk_steps
     tuned = not auto_tune
+    wall_t0 = time.perf_counter()
     try:
         for start in range(start_event, stop, eb):
             with phase_timer(times, "read"):
@@ -755,3 +757,33 @@ def run_simulation(
         reader.close()
         if progress is not None:
             progress.close()
+        if hasattr(writer, "get_directory_name"):
+            from ..utils.manifest import write_run_manifest
+
+            dp = config.det_params
+            ep = config.elec_params
+            write_run_manifest(
+                writer.get_directory_name(),
+                stage="detector",
+                seed=seed,
+                event_range=(start_event, stop),
+                config={
+                    "input": str(input_path),
+                    "length_m": dp.length,
+                    "efield": dp.efield,
+                    "bfield": dp.bfield,
+                    "mpgd_gain": dp.mpgd_gain,
+                    "diffusion": dp.diffusion,
+                    "fano_factor": dp.fano_factor,
+                    "w_value": dp.w_value,
+                    "adc_threshold": ep.adc_threshold,
+                    "sim_indices": sim.sim_indices,
+                },
+                budgets=budgets,
+                phase_seconds=dict(times.seconds),
+                wall_seconds=time.perf_counter() - wall_t0,
+                extra={
+                    "events_per_batch": eb,
+                    "sharded_devices": mesh.size if mesh is not None else 1,
+                },
+            )

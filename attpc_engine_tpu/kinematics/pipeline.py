@@ -535,9 +535,12 @@ def run_kinematics_pipeline(
         else pipeline._run_batch_jit
     )
 
+    import time
+
     written = 0
     batch_index = 0
     pending = None  # double buffering: write batch k while k+1 computes
+    wall_t0 = time.perf_counter()
     try:
         while written < n_events:
             n = min(batch_size, n_events - written)
@@ -556,6 +559,25 @@ def run_kinematics_pipeline(
         writer.close()
         if progress is not None:
             progress.close()
+        from ..utils.manifest import write_run_manifest
+
+        write_run_manifest(
+            output_path,
+            stage="kinematics",
+            seed=seed,
+            event_range=(0, n_events),
+            config={
+                "reaction": str(pipeline.reaction),
+                "n_nuclei": pipeline.n_nuclei,
+                "beam_energy": pipeline.beam_energy,
+                "schema": schema,
+            },
+            budgets={"batch_size": batch_size},
+            wall_seconds=time.perf_counter() - wall_t0,
+            extra={
+                "sharded_devices": mesh.size if mesh is not None else 1,
+            },
+        )
 
 
 def _drain_kinematics_batch(pipeline, writer, progress, pending) -> None:

@@ -161,6 +161,23 @@ def test_full_chain(tmp_path):
         assert cloud_group[ev].attrs["ic_amplitude"] == -1.0
         assert "min_event" in cloud_group.attrs
 
+    # run manifests: one per driver invocation, reproducibility record
+    import json
+
+    kine_manifest = kine_path.with_suffix(".h5.run.json")
+    assert kine_manifest.exists()
+    rec = json.loads(kine_manifest.read_text())
+    assert rec["stage"] == "kinematics"
+    assert rec["seed"] == 7
+    assert rec["event_range"] == [0, 8]
+    det_manifests = sorted(outdir.glob("run_manifest_*.json"))
+    assert len(det_manifests) == 1
+    rec = json.loads(det_manifests[0].read_text())
+    assert rec["stage"] == "detector"
+    assert rec["seed"] == 11
+    assert rec["budgets"]["point"] > 0
+    assert rec["wall_seconds"] > 0
+
 
 def test_full_chain_multistep(tmp_path):
     """Three-step chain (reaction + 2 decays): 8 nuclei, default indices
