@@ -6,8 +6,7 @@ numba-Dict accumulation (simulator.py:93-104). The reference iterates
 trajectory points in Python/numba, depositing each point's electrons onto a
 10x10 Gaussian mesh and accumulating charge in a hash map keyed by
 Szudzik(tb, pad). Here the whole batch is processed as array programs,
-structured around per-event sort windows (v2 — replaces the round-1 global
-batch sort over event-packed keys):
+structured around per-event sort windows (v3):
 
 1. ``generate_electrons`` — Fano-smeared electron counts per deposit point
    (reference solver.py:308-347) as one vectorized normal draw,
@@ -17,45 +16,50 @@ batch sort over event-packed keys):
 3. mesh expansion: every pooled point emits a 10x10 pixel block; pad ids
    come from one gather into the pre-keyed 1-mm lookup table; the beam-pad
    veto is pre-folded into that table (vs the reference's 122-element
-   linear scan per pixel),
-4. LOCAL dedup: the 100 pixels of one point carry only ~24 unique
-   (pad, tb) keys (measured on the flagship config — the mesh spans a few
-   pads and all 100 pixels share the point's tb). A small row sort of each
-   point's 128-padded pixel block + a segmented scan merges them, and a
-   second row sort compacts the survivors into ``local_cap`` slots,
-5. EVENT merge: one batched per-event-window sort ([E, point_budget *
-   local_cap], keys are plain ``pad * 512 + tb`` — no event packed into the
-   key, so there is NO ceiling on events per batch) + a segmented scan.
-   Charge is summed (f32 is exact enough here: segmented scans only
-   accumulate within a segment, unlike the round-1 global prefix sum that
-   needed a hierarchical f32/f64 trick); the label is the last writer in
-   deposition order — exactly the reference's dict-overwrite semantics
-   (transporter.py:169,249),
+   linear scan per pixel). Each pixel's merge key packs
+   ((pad * 512 + tb) << rank_bits) | track_rank into one int32: sorting the
+   packed key groups equal (pad, tb) runs AND orders each run by track
+   deposition rank — so an UNSTABLE 2-operand sort suffices,
+4. per-event-window sort of (packed_key, q) over the ``point_budget * 100``
+   pixel lanes. No event id in the key, so there is NO ceiling on events
+   per batch,
+5. merge WITHOUT segmented scans: a plain row ``cumsum`` of the sorted
+   charges, then the run total of each (pad, tb) is the difference of the
+   inclusive prefix at consecutive run-ends. (Segmented
+   ``associative_scan`` consuming a sort's output makes the TPU backend's
+   compile time explode — 230 s at [16k, 128] vs 7 s for sort->cumsum,
+   measured; see tools/compile_bisect_*.py.)
+   The run-end rows (one per unique (pad, tb)) are compacted to
+   ``uniq_budget`` slots per event by a second 2-operand sort,
 6. the per-point TB wiggle U[0,1) and the 0 <= tb < 512 bound
    (simulator.py:108-113) are applied to the merged entries.
 
-The merged entries are returned UNCOMPACTED in their per-event windows
-(flattened, with ``events``/``cloud_valid`` marking real rows): the Spyral
-conversion consumes them window-wise, so a compaction pass here would be
-pure overhead. ``compact_cloud`` performs the old pooled compaction for
-consumers that need valid-rows-first layout (the reference-protocol writer
-path).
+The merged entries are returned in per-event windows of width
+``uniq_budget`` (flattened), COMPACTED: event i's unique points occupy
+slots [i*U, i*U + counts[i]) in ascending (pad, tb) order. The label is
+the last writer in deposition order — exactly the reference's
+dict-overwrite semantics (transporter.py:169,249) — recovered from the
+packed track rank (tracks are deposited in slot order, and within one
+track every pixel of a (pad, tb) run shares the label).
 
-Per-event windows (vs the round-1 shared pool) also make the event axis
-trivially shardable across a device mesh: every array is event-major with
-no cross-event structure.
+Per-event windows also make the event axis trivially shardable across a
+device mesh: every array is event-major with no cross-event structure.
 
 Differences from the reference, documented per SURVEY.md hard-part 5:
 - (a) positions are floored to whole mm before pad lookup (quirk kept), but
   the reference's f64 division artifact that sometimes lands one 0.1 mm bin
   lower is not reproduced (we compute the bin index by rounding),
 - per-pixel charges are accumulated in f32 without the reference's
-  per-pixel int() truncation (sub-ppm effect at MPGD gains),
+  per-pixel int() truncation (sub-ppm effect at MPGD gains). Run totals
+  come from differences of an f32 inclusive prefix over the event window,
+  so the absolute error is ~(event total) * eps_f32 — sub-electron for any
+  physical event,
 - out-of-window tbs are dropped at deposit time (provably identical to the
   reference's post-hoc mask),
-- capacities are bounded: the per-event point windows and the per-point
-  ``local_cap`` unique-key slots report overflow counts instead of growing
-  unboundedly (the driver doubles the budget and re-runs the batch).
+- capacities are bounded: the per-event point windows and the per-event
+  ``uniq_budget`` unique-(pad, tb) slots report overflow counts instead of
+  growing unboundedly (the driver doubles the budget and re-runs the
+  batch).
 """
 
 from __future__ import annotations
@@ -64,6 +68,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "generate_electrons",
@@ -75,7 +80,11 @@ __all__ = [
 
 MESH_STEPS = 10  # reference transporter.py:8
 NUM_TB = 512
-KEY_SENTINEL = jnp.int32(2**31 - 1)
+# NOTE: a plain numpy scalar, NOT jnp: module-level device arrays become
+# closure constants of every jitted program, and embedding one in MLIR
+# forces a device->host pull at LOWERING time — which over a tunneled TPU
+# costs minutes per program (measured: 329 s for this one scalar).
+KEY_SENTINEL = np.int32(2**31 - 1)
 
 
 def generate_electrons(
@@ -120,32 +129,16 @@ def _key_lookup(
     return jnp.where(inb, key, KEY_SENTINEL)
 
 
-def _seg_scan(first: jax.Array, values: jax.Array, axis: int) -> jax.Array:
-    """Segmented inclusive prefix sum along ``axis``: sums reset where
-    ``first`` is True. Error accumulates only within a segment (and the
-    scan combines as a tree), so f32 is plenty even for large windows."""
-
-    def op(a, b):
-        af, av = a
-        bf, bv = b
-        return af | bf, bv + jnp.where(bf, 0.0, av)
-
-    _, sums = jax.lax.associative_scan(op, (first, values), axis=axis)
-    return sums
-
-
-def _run_edges(keys: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """(first, last) masks of equal-key runs along the last axis."""
+def _run_last(keys: jax.Array) -> jax.Array:
+    """Mask of the last element of each equal-key run along the last axis."""
     change = keys[..., 1:] != keys[..., :-1]
     ones = jnp.ones(keys.shape[:-1] + (1,), dtype=bool)
-    first = jnp.concatenate([ones, change], axis=-1)
-    last = jnp.concatenate([change, ones], axis=-1)
-    return first, last
+    return jnp.concatenate([change, ones], axis=-1)
 
 
 @partial(
     jax.jit,
-    static_argnames=("n_events", "tracks_per_event", "point_budget", "local_cap"),
+    static_argnames=("n_events", "tracks_per_event", "point_budget", "uniq_budget"),
 )
 def deposit_and_merge(
     key: jax.Array,
@@ -165,8 +158,7 @@ def deposit_and_merge(
     n_events: int,
     tracks_per_event: int,
     point_budget: int = 1024,
-    local_cap: int = 64,
-    cloud_cap: int | None = None,  # accepted for v1 compat; unused
+    uniq_budget: int = 12288,
 ):
     """Transport deposits to the pad plane and merge to unique (pad, tb).
 
@@ -187,31 +179,37 @@ def deposit_and_merge(
     point_budget: per-event point window capacity. Overflowing points (the
         trailing ones in deposition order) are dropped and counted in
         ``pool_overflow``.
-    local_cap: unique-(pad, tb) slots kept per deposit point (<= 100). The
-        flagship config measures ~24 mean / 57 max unique keys per point;
-        overflow is counted in ``seg_overflow``.
+    uniq_budget: unique-(pad, tb) slots kept per event. Overflow (the
+        highest-key entries) is dropped and counted in ``uniq_overflow``.
 
     Returns
     -------
     dict of merged entries in flattened per-event windows of width
-    W = point_budget * local_cap (S = n_events * W rows; event i owns rows
-    [i*W, (i+1)*W), valid rows marked, within-window order = ascending
-    (pad, tb) key):
+    U = uniq_budget (S = n_events * U rows; event i owns rows
+    [i*U, (i+1)*U), valid slots compacted first, within-window order =
+    ascending (pad, tb) key):
         pads [S] i32, tbs [S] f32 (wiggled), charges [S] f32 (gain
         applied), labels [S] i32, events [S] i32 (= n_events for invalid
         rows), cloud_valid [S] bool, counts [E] i32 (unique points per
-        event), n_points [E] i32 (deposit points), pool_overflow [] i32,
-        seg_overflow [] i32 (local_cap overflow), local_max [] i32 (max
-        unique keys on any point — for budget tuning).
+        event, clipped to U), n_points [E] i32 (deposit points),
+        pool_overflow [] i32, uniq_overflow [] i32, uniq_max [] i32 (max
+        uniques on any event — for budget tuning).
     """
     t_steps, b = electrons.shape
     k_tracks = tracks_per_event
     e = n_events
     pb = point_budget
-    c_cap = min(local_cap, MESH_STEPS * MESH_STEPS)
     f32 = jnp.float32
     key_grid_flat = key_grid_mm.reshape(-1)
     p = e * pb
+
+    # pack ((pad * 512 + tb) << rank_bits) | track_rank: sorting the packed
+    # key orders runs of equal (pad, tb) by deposition rank. Max real key is
+    # 10239 * 512 + 511 < 2^23, so up to 256 tracks/event fit in int32.
+    rank_bits = max(1, int(k_tracks - 1).bit_length())
+    if (10240 * NUM_TB) << rank_bits >= 2**31:
+        raise ValueError(f"too many tracks per event ({k_tracks}) to pack")
+    u_cap = min(uniq_budget, pb * MESH_STEPS * MESH_STEPS)
 
     # electrons >= 1 is part of validity (reference solver.py:387-389)
     valid = valid & (electrons >= 1)
@@ -251,9 +249,9 @@ def deposit_and_merge(
     ptbf = ev_flat(tb_f)[gsrc]
     ptbi = ev_flat(tb_i)[gsrc]
     # gain is applied after the merge (keeps summed charge magnitudes small
-    # for the f32 segmented scans)
+    # for the f32 prefix sums)
     pne = ev_flat(electrons)[gsrc].astype(f32)
-    plabel = track_labels[gsrc // t_steps]
+    prank = (gsrc // t_steps) % k_tracks  # deposition rank within the event
 
     # --- diffusion mesh expansion ---------------------------------------- #
     # sigma_t = sqrt(2 D dv t / E), t in (float) TBs (transporter.py:301)
@@ -287,53 +285,60 @@ def deposit_and_merge(
     pix_valid = (pkey != KEY_SENTINEL) & taken[:, None, None]
 
     n_px = MESH_STEPS * MESH_STEPS
-    lkey = jnp.where(pix_valid, pkey + ptbi[:, None, None], KEY_SENTINEL)
-    lkey = lkey.reshape(p, n_px)
-    lq = jnp.where(pix_valid, q_pix, 0.0).reshape(p, n_px)
+    packed = jnp.where(
+        pix_valid,
+        ((pkey + ptbi[:, None, None]) << rank_bits) | prank[:, None, None],
+        KEY_SENTINEL,
+    )
+    w = pb * n_px
+    packed = packed.reshape(e, w)
+    lq = jnp.where(pix_valid, q_pix, 0.0).reshape(e, w)
 
-    # --- LOCAL dedup: merge each point's 100 pixels to <= local_cap ------- #
-    seg_overflow = jnp.int32(0)
-    local_max = jnp.int32(n_px)
-    if c_cap < n_px:
-        pad_n = 128 - n_px  # pad rows to the 128-lane sort width
-        lkey = jnp.concatenate(
-            [lkey, jnp.full((p, pad_n), KEY_SENTINEL, jnp.int32)], axis=1
-        )
-        lq = jnp.concatenate([lq, jnp.zeros((p, pad_n), f32)], axis=1)
-        k1, q1 = jax.lax.sort((lkey, lq), dimension=1, num_keys=1)
-        first, last = _run_edges(k1)
-        sums = _seg_scan(first, q1, axis=1)
-        real_last = last & (k1 != KEY_SENTINEL)
-        n_uniq = real_last.sum(axis=1, dtype=jnp.int32)
-        local_max = n_uniq.max()
-        seg_overflow = jnp.maximum(n_uniq - c_cap, 0).sum()
-        ukey = jnp.where(real_last, k1, KEY_SENTINEL)
-        usum = jnp.where(real_last, sums, 0.0)
-        k2, q2 = jax.lax.sort((ukey, usum), dimension=1, num_keys=1)
-        ekey = k2[:, :c_cap]
-        eq = q2[:, :c_cap]
-    else:
-        c_cap = n_px
-        ekey, eq = lkey, lq
+    # --- per-event-window merge ------------------------------------------ #
+    # One unstable 2-operand sort groups equal (pad, tb) runs, internally
+    # ordered by deposition rank (it rides in the key's low bits).
+    packed, qq = jax.lax.sort((packed, lq), dimension=1, num_keys=1)
+    ukey = packed >> rank_bits  # sentinel maps above every real key
+    last = _run_last(ukey)
+    real_last = last & (packed != KEY_SENTINEL)
+    n_uniq = real_last.sum(axis=1, dtype=jnp.int32)
+    uniq_max = n_uniq.max()
+    uniq_overflow = jnp.maximum(n_uniq - u_cap, 0).sum()
 
-    # --- per-event-window merge sort -------------------------------------- #
-    w = pb * c_cap
-    kk = ekey.reshape(e, w)
-    qq = eq.reshape(e, w)
-    ll = jnp.broadcast_to(plabel[:, None], (p, c_cap)).reshape(e, w)
-    # stable sort: within a key run, row order is deposition order, so the
-    # run's LAST entry is the reference's dict-overwrite label writer
-    kk, qq, ll = jax.lax.sort((kk, qq, ll), dimension=1, is_stable=True, num_keys=1)
-    first, last = _run_edges(kk)
-    qsum = _seg_scan(first, qq, axis=1)
-    uniq = last & (kk != KEY_SENTINEL)
-    counts = uniq.sum(axis=1, dtype=jnp.int32)
+    # inclusive prefix of the sorted charges: each run's total is the
+    # difference of the prefix at consecutive run-ends (invalid lanes carry
+    # q = 0, so they never perturb the prefix)
+    c = jnp.cumsum(qq, axis=1, dtype=f32)
 
-    events_out = jnp.where(uniq, row, e).reshape(-1)
-    pads_out = jnp.where(uniq, kk // NUM_TB, -1).reshape(-1)
-    tbs_int = jnp.where(uniq, kk % NUM_TB, 0).reshape(-1)
-    charges = jnp.where(uniq, qsum * f32(mpgd_gain), 0.0).reshape(-1)
-    labels = jnp.where(uniq, ll, -1).reshape(-1)
+    # compact the run-end rows (ascending key; prefix order is preserved
+    # because c is nondecreasing and run-ends are already in key order)
+    key2 = jnp.where(real_last, packed, KEY_SENTINEL)
+    c2op = jnp.where(real_last, c, 0.0)
+    key2, c2 = jax.lax.sort((key2, c2op), dimension=1, num_keys=1)
+    key2 = key2[:, :u_cap]
+    c2 = c2[:, :u_cap]
+
+    valid2 = key2 != KEY_SENTINEL
+    prev = jnp.concatenate([jnp.zeros((e, 1), f32), c2[:, :-1]], axis=1)
+    # clamp: XLA's tree cumsum is not strictly monotone in f32, and runs
+    # below the prefix's epsilon (~1e-7 * event total, i.e. far under one
+    # electron) legitimately difference to zero — matching the reference's
+    # own charge-0 dict entries from per-pixel int() truncation
+    sums = jnp.where(valid2, jnp.maximum(c2 - prev, 0.0), 0.0)
+    counts = jnp.minimum(n_uniq, u_cap)
+
+    ufinal = key2 >> rank_bits
+    rank2 = jnp.where(valid2, key2 & ((1 << rank_bits) - 1), 0)
+    # label of the run's deposition-last track: tracks deposit in slot
+    # order, so max rank in a run == last writer (reference
+    # transporter.py:169,249 dict-overwrite semantics)
+    lab_idx = jnp.clip(row * k_tracks + rank2, 0, b - 1)
+    labels = jnp.where(valid2, track_labels[lab_idx], -1).reshape(-1)
+
+    events_out = jnp.where(valid2, row, e).reshape(-1)
+    pads_out = jnp.where(valid2, ufinal // NUM_TB, -1).reshape(-1)
+    tbs_int = jnp.where(valid2, ufinal % NUM_TB, 0).reshape(-1)
+    charges = jnp.where(valid2, sums * f32(mpgd_gain), 0.0).reshape(-1)
 
     # TB wiggle U[0, 1) (simulator.py:108)
     wiggle = jax.random.uniform(key, tbs_int.shape, dtype=f32)
@@ -345,21 +350,21 @@ def deposit_and_merge(
         "charges": charges,
         "labels": labels,
         "events": events_out,
-        "cloud_valid": uniq.reshape(-1),
+        "cloud_valid": valid2.reshape(-1),
         "counts": counts,
         "n_points": n_points,
         "pool_overflow": pool_overflow,
-        "seg_overflow": seg_overflow,
-        "local_max": local_max,
+        "uniq_overflow": uniq_overflow,
+        "uniq_max": uniq_max,
     }
 
 
 @partial(jax.jit, static_argnames=("n_events", "cap"))
 def compact_cloud(cloud: dict, n_events: int, cap: int):
-    """Compact merged entries into the round-1 pooled layout: valid rows
-    first, ordered by (event, key), capacity ``cap`` rows per event (shared
-    pool of n_events * cap). For consumers that need contiguous per-event
-    slices (the reference-protocol writer path)."""
+    """Compact merged entries into a pooled layout: valid rows first,
+    ordered by (event, key), capacity ``cap`` rows per event (shared
+    pool of n_events * cap). For consumers that need one contiguous pool
+    across events (the reference-protocol writer path)."""
     e = n_events
     s_cap = min(e * cap, cloud["pads"].shape[0])
     evkey = jnp.where(cloud["cloud_valid"], cloud["events"], jnp.int32(2**30))

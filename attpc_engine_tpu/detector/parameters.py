@@ -207,8 +207,6 @@ class Config:
         One single-pass gather replaces gather + beam LUT + masking.
         """
         if self._device_cache is None:
-            import jax.numpy as jnp
-
             from ..constants import NUM_TB
             from .response import get_response
 
@@ -221,13 +219,18 @@ class Config:
             vetoed = (grid_mm < 0) | self.beam_mask[np.clip(grid_mm, 0, None)]
             key_grid = np.where(vetoed, np.int32(2**31 - 1), grid_mm * NUM_TB)
 
+            # Host numpy, NOT jnp: these are embedded as closure constants
+            # of the jitted detector programs, and a jnp (device) constant
+            # forces a device->host pull at LOWERING time — minutes over a
+            # tunneled TPU. Numpy constants embed into MLIR directly; XLA
+            # still stages them into device memory exactly once at compile.
             self._device_cache = {
-                "key_grid_mm": jnp.asarray(key_grid.astype(np.int32)),
+                "key_grid_mm": key_grid.astype(np.int32),
                 "grid_lo_mm": float(lo),
                 "grid_n_mm": n_mm,
-                "edges": jnp.asarray(self.pad_grid_edges, dtype=jnp.float32),
-                "centers": jnp.asarray(self.pad_centers, dtype=jnp.float32),
-                "sizes": jnp.asarray(self.pad_sizes, dtype=jnp.float32),
-                "response": jnp.asarray(get_response(self), dtype=jnp.float32),
+                "edges": np.asarray(self.pad_grid_edges, dtype=np.float32),
+                "centers": np.asarray(self.pad_centers, dtype=np.float32),
+                "sizes": np.asarray(self.pad_sizes, dtype=np.float32),
+                "response": np.asarray(get_response(self), dtype=np.float32),
             }
         return self._device_cache

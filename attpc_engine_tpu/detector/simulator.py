@@ -54,9 +54,10 @@ class EngineParams:
     point_budget: int
         Per-event deposit-point window capacity; overflow is counted and
         the driver doubles + retries.
-    local_cap: int
-        Unique-(pad, tb) slots kept per deposit point during the local
-        mesh dedup (<= 100; flagship config measures ~24 mean / 57 max).
+    uniq_budget: int
+        Unique-(pad, tb) slots kept per event by the merge (the flagship
+        config measures ~6.7k max); overflow is counted and the driver
+        doubles + retries. This is the width of the merged cloud window.
     cloud_cap: int
         Per-event capacity of the COMPACTED cloud pool — only materialized
         on the reference-protocol writer path (see
@@ -72,7 +73,7 @@ class EngineParams:
     dt: float = 1e-10
     chunk_steps: int = 500
     point_budget: int = 1024
-    local_cap: int = 64
+    uniq_budget: int = 12288
     cloud_cap: int = 12288
     out_budget: int = 8192
     events_per_batch: int = 256
@@ -159,7 +160,7 @@ class DetectorSimulator:
             static_argnames=(
                 "n_events",
                 "point_budget",
-                "local_cap",
+                "uniq_budget",
                 "out_budget",
                 "n_steps",
             ),
@@ -174,7 +175,7 @@ class DetectorSimulator:
         gvs,
         n_events: int,
         point_budget: int | None = None,
-        local_cap: int | None = None,
+        uniq_budget: int | None = None,
         out_budget: int | None = None,
         n_steps: int | None = None,
     ):
@@ -185,7 +186,7 @@ class DetectorSimulator:
         batches."""
         cfg, eng = self.config, self.engine
         point_budget = point_budget or eng.point_budget
-        local_cap = local_cap or eng.local_cap
+        uniq_budget = uniq_budget or eng.uniq_budget
         out_budget = out_budget or eng.out_budget
         n_steps = n_steps or eng.n_time_steps
         dev = cfg.device_arrays()
@@ -237,7 +238,7 @@ class DetectorSimulator:
             n_events=e,
             tracks_per_event=k,
             point_budget=point_budget,
-            local_cap=local_cap,
+            uniq_budget=uniq_budget,
         )
         window = cloud["pads"].shape[0] // e
         packed_f32, packed_i16, counts, out_overflow = self._convert_to_spyral(
@@ -258,10 +259,10 @@ class DetectorSimulator:
                 jnp.stack(
                     [
                         out_overflow,
-                        cloud["seg_overflow"],
+                        cloud["uniq_overflow"],
                         cloud["pool_overflow"],
                         steps_alive,
-                        cloud["local_max"],
+                        cloud["uniq_max"],
                     ]
                 ),
             ]
@@ -384,7 +385,7 @@ class DetectorSimulator:
         momenta: np.ndarray,
         assemble: bool = True,
         point_budget: int | None = None,
-        local_cap: int | None = None,
+        uniq_budget: int | None = None,
         out_budget: int | None = None,
         n_steps: int | None = None,
         compact: bool = False,
@@ -426,7 +427,7 @@ class DetectorSimulator:
             g_dev,
             e,
             point_budget=point_budget or self.engine.point_budget,
-            local_cap=local_cap or self.engine.local_cap,
+            uniq_budget=uniq_budget or self.engine.uniq_budget,
             out_budget=out_budget or self.engine.out_budget,
             n_steps=n_steps or self.engine.n_time_steps,
         )
@@ -569,18 +570,18 @@ def run_simulation(
         per-event maxima used for budget auto-tuning."""
         with phase_timer(times, "pull-meta"):
             # layout: kept counts[E], n_points[E], cloud counts[E], then
-            # [out_overflow, local_overflow, pool_overflow, steps_alive,
-            #  local_max]
+            # [out_overflow, uniq_overflow, pool_overflow, steps_alive,
+            #  uniq_max]
             meta = np.asarray(out["meta_i32"])
         counts = meta[:n]
         n_points = meta[eb : eb + n]
-        out_overflow, local_overflow, pool_overflow, steps_alive, local_max = (
+        out_overflow, uniq_overflow, pool_overflow, steps_alive, uniq_max = (
             meta[-5:]
         )
         if pool_overflow > 0:
             raise _PoolOverflow("point", int(pool_overflow))
-        if local_overflow > 0:
-            raise _PoolOverflow("local", int(local_overflow))
+        if uniq_overflow > 0:
+            raise _PoolOverflow("uniq", int(uniq_overflow))
         if out_overflow > 0:
             raise _PoolOverflow("out", int(out_overflow))
         if "cloud_overflow" in out and int(np.asarray(out["cloud_overflow"])) > 0:
@@ -591,7 +592,7 @@ def run_simulation(
             raise _PoolOverflow("steps", int(steps_alive))
         stats = (
             int(n_points.max(initial=0)),
-            int(local_max),
+            int(uniq_max),
             int(counts.sum()),
             int(steps_alive),
         )
@@ -677,7 +678,7 @@ def run_simulation(
 
     budgets = {
         "point": engine.point_budget,
-        "local": engine.local_cap,
+        "uniq": engine.uniq_budget,
         "cloud": engine.cloud_cap,
         "out": engine.out_budget,
         "steps": engine.n_time_steps,
@@ -703,7 +704,7 @@ def run_simulation(
                     out = sim.simulate_batch(
                         key, vertices, momenta, assemble=False,
                         point_budget=budgets["point"],
-                        local_cap=budgets["local"],
+                        uniq_budget=budgets["uniq"],
                         out_budget=budgets["out"],
                         n_steps=budgets["steps"],
                         compact=raw_writer,
@@ -720,8 +721,7 @@ def run_simulation(
                             round_up(budgets["steps"] * 2, chunk),
                             engine.n_time_steps,
                         )
-                    elif ov.kind == "local":
-                        budgets["local"] = min(budgets["local"] * 2, 100)
+
                     else:
                         budgets[ov.kind] *= 2
                         if budgets[ov.kind] > 2**21:
@@ -731,12 +731,12 @@ def run_simulation(
             write_out((counts, pf, pi, cloud_np, start, n))
             if not tuned:
                 # retighten to the observed first-batch multiplicities
-                pts_max, local_max, kept, steps_alive = stats
+                pts_max, uniq_max, kept, steps_alive = stats
                 budgets["point"] = min(
                     budgets["point"], round_up(pts_max * 1.3, 64)
                 )
-                budgets["local"] = min(
-                    budgets["local"], max(round_up(local_max * 1.3, 8), 8)
+                budgets["uniq"] = min(
+                    budgets["uniq"], round_up(uniq_max * 1.3, 1024)
                 )
                 budgets["out"] = min(
                     budgets["out"], round_up(kept / eb * 1.4, 2048)

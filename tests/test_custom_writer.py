@@ -77,5 +77,8 @@ def test_reference_protocol_writer(tmp_path):
     data, labels = next(iter(writer.events.values()))
     assert np.all((data[:, 0] >= 0) & (data[:, 0] < 10240))  # pads
     assert np.all((data[:, 1] >= 0) & (data[:, 1] < 512))  # tbs
-    assert np.all(data[:, 2] > 0)  # electrons
+    # electrons nonnegative; sub-epsilon-faint entries may merge to exactly
+    # 0 (the reference's per-pixel int() truncation zeroes them the same way)
+    assert np.all(data[:, 2] >= 0)
+    assert data[:, 2].max() > 0
     assert set(labels.tolist()) <= {2, 3}

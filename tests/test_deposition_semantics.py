@@ -129,7 +129,7 @@ def test_merge_matches_reference_semantics(geometry):
         grid_lo_mm=dev["grid_lo_mm"],
         grid_n_mm=dev["grid_n_mm"],
         n_events=n_events, tracks_per_event=k_tracks,
-        point_budget=256, cloud_cap=4096,
+        point_budget=256,
         **args,
     )
 
@@ -193,8 +193,8 @@ def test_no_event_count_ceiling(geometry):
     assert events.min() == 0 and events.max() == 511
 
 
-def test_local_cap_overflow_counted(geometry):
-    """A too-small local_cap must not silently drop charge: the overflow
+def test_uniq_budget_overflow_counted(geometry):
+    """A too-small uniq_budget must not silently drop charge: the overflow
     counter reports it so the driver can double and retry."""
     config = geometry
     rng = np.random.default_rng(7)
@@ -208,7 +208,7 @@ def test_local_cap_overflow_counted(geometry):
     labels = np.array([2, 3], dtype=np.int32)
     dev = config.device_arrays()
 
-    def run(local_cap):
+    def run(uniq_budget):
         return deposit_and_merge(
             jax.random.PRNGKey(0),
             jnp.asarray(positions), jnp.asarray(electrons),
@@ -219,18 +219,23 @@ def test_local_cap_overflow_counted(geometry):
             drift_velocity=config.drift_velocity,
             micromegas_edge=10.0, length=1.0, mpgd_gain=1000.0,
             n_events=1, tracks_per_event=2, point_budget=16,
-            local_cap=local_cap,
+            uniq_budget=uniq_budget,
         )
 
-    small = run(4)
-    assert int(np.asarray(small["seg_overflow"])) > 0
-    big = run(100)
-    assert int(np.asarray(big["seg_overflow"])) == 0
-    assert int(np.asarray(big["local_max"])) > 4
+    small = run(8)
+    assert int(np.asarray(small["uniq_overflow"])) > 0
+    big = run(4096)
+    assert int(np.asarray(big["uniq_overflow"])) == 0
+    assert int(np.asarray(big["uniq_max"])) > 8
     # the overflow-free run keeps strictly more charge
     assert float(np.asarray(big["charges"]).sum()) > float(
         np.asarray(small["charges"]).sum()
     )
+    # compacted layout: valid slots come first and match counts
+    counts = np.asarray(big["counts"])
+    valid_rows = np.asarray(big["cloud_valid"]).reshape(1, -1)
+    assert valid_rows[0, : counts[0]].all()
+    assert not valid_rows[0, counts[0] :].any()
 
 
 def _extract_clouds(out, n_events):

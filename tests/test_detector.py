@@ -119,7 +119,11 @@ def test_simulation_proton_track():
     assert np.all(labels == 2)
     assert np.all((cloud[:, 0] >= 0) & (cloud[:, 0] < 10240))
     assert np.all((cloud[:, 1] >= 0) & (cloud[:, 1] < 512))
-    assert np.all(cloud[:, 2] > 0)
+    # charges are nonnegative; entries far below one electron may merge to
+    # exactly 0 (f32 prefix granularity — the reference's per-pixel int()
+    # truncation produces charge-0 dict entries the same way)
+    assert np.all(cloud[:, 2] >= 0)
+    assert cloud[:, 2].max() > 0
     # unique (pad, tb_int) keys — merged
     keys = cloud[:, 0] * 512 + np.floor(cloud[:, 1])
     assert len(np.unique(keys)) == len(keys)

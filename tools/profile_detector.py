@@ -3,7 +3,7 @@
 Times integrate_tracks, generate_electrons+deposit_and_merge, and the
 Spyral conversion separately to locate the bottleneck. Env knobs:
 PROF_EVENTS (default 64), PROF_STEPS (default 10000), PROF_POINT_BUDGET,
-PROF_LOCAL_CAP, PROF_OUT_BUDGET.
+PROF_UNIQ_BUDGET, PROF_OUT_BUDGET.
 """
 
 import os
@@ -48,12 +48,12 @@ def main():
     e = int(os.environ.get("PROF_EVENTS", 64))
     steps = int(os.environ.get("PROF_STEPS", 10000))
     point_budget = int(os.environ.get("PROF_POINT_BUDGET", 1024))
-    local_cap = int(os.environ.get("PROF_LOCAL_CAP", 64))
+    uniq_budget = int(os.environ.get("PROF_UNIQ_BUDGET", 8192))
     out_budget = int(os.environ.get("PROF_OUT_BUDGET", 8192))
 
     pipeline, sim = _tiny_setup(events_per_batch=e, n_time_steps=steps)
     sim.engine.point_budget = point_budget
-    sim.engine.local_cap = local_cap
+    sim.engine.uniq_budget = uniq_budget
     sim.engine.out_budget = out_budget
     sim.engine.n_time_steps = steps
     cfg = sim.config
@@ -109,7 +109,7 @@ def main():
             length=cfg.det_params.length,
             mpgd_gain=float(cfg.det_params.mpgd_gain),
             n_events=e, tracks_per_event=sim.k_tracks,
-            point_budget=point_budget, local_cap=local_cap,
+            point_budget=point_budget, uniq_budget=uniq_budget,
         )
     )
     t_dep = timeit("deposit+merge", dep)
@@ -124,13 +124,13 @@ def main():
         length=cfg.det_params.length,
         mpgd_gain=float(cfg.det_params.mpgd_gain),
         n_events=e, tracks_per_event=sim.k_tracks,
-        point_budget=point_budget, local_cap=local_cap,
+        point_budget=point_budget, uniq_budget=uniq_budget,
     )
     print(f"  n_points avg: {np.asarray(cloud['n_points']).mean():.0f}, "
           f"pool_overflow: {np.asarray(cloud['pool_overflow'])}, "
           f"cloud pts avg: {np.asarray(cloud['counts']).mean():.0f}, "
-          f"local overflow: {np.asarray(cloud['seg_overflow'])}, "
-          f"local max: {np.asarray(cloud['local_max'])}")
+          f"uniq overflow: {np.asarray(cloud['uniq_overflow'])}, "
+          f"uniq max: {np.asarray(cloud['uniq_max'])}")
 
     window = cloud["pads"].shape[0] // e
     conv_jit = jax.jit(
@@ -143,7 +143,7 @@ def main():
         sim._sim_jit(
             key, jnp.asarray(vertices, dtype=jnp.float32),
             gvs.reshape(e, sim.k_tracks, 3), e,
-            point_budget=point_budget, local_cap=local_cap,
+            point_budget=point_budget, uniq_budget=uniq_budget,
             out_budget=out_budget, n_steps=steps,
         )["packed_f32"]
     )
