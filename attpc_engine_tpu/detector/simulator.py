@@ -147,12 +147,13 @@ class DetectorSimulator:
         self._labels = jnp.asarray(np.array(self.sim_indices), dtype=jnp.int32)
 
         dev = config.device_arrays()
-        # response integral lookup: ascending response + prefix sums
+        # response integral lookup (host side, f64 — reference arithmetic):
+        # ascending response + prefix sums, consumed by assemble_spyral
         resp = np.asarray(dev["response"], dtype=np.float64)
-        asc = np.sort(resp)
-        prefix = np.concatenate([[0.0], np.cumsum(asc)])
-        self._resp_asc = jnp.asarray(asc, dtype=jnp.float32)
-        self._resp_prefix = jnp.asarray(prefix, dtype=jnp.float32)
+        self._resp_asc_f64 = np.sort(resp)
+        self._resp_prefix_f64 = np.concatenate(
+            [[0.0], np.cumsum(self._resp_asc_f64)]
+        )
         self._resp_max = float(resp.max())
 
         self._sim_jit = jax.jit(
@@ -275,15 +276,25 @@ class DetectorSimulator:
         """Host-side assembly of the Spyral 8 columns from the packed
         device output (f64, matching the reference's writer math —
         writer.py:97-111): x/y from pad centers, z from tb, size from the
-        pad table.
+        pad table, amplitude/integral from the merged charge.
+
+        The GET response application (reference response.py:35-56: per-tb
+        min(response * q, 4095), amplitude = max, integral = sum) happens
+        HERE in f64 — exactly the reference's arithmetic — via the sorted
+        response + prefix-sum trick in O(log 512) per point. Only the
+        charge rides the tunnel; the device computes just the amplitude
+        threshold mask.
 
         Returns (spyral [n, 8] f64, labels [n] i64)."""
         cfg = self.config
         pads = packed_i16[:, 0].astype(np.int64)
         labels = packed_i16[:, 1].astype(np.int64)
-        amp = packed_f32[:, 0].astype(np.float64)
-        integral = packed_f32[:, 1].astype(np.float64)
-        tbs = packed_f32[:, 2].astype(np.float64)
+        q = packed_f32[:, 0].astype(np.float64)
+        tbs = packed_f32[:, 1].astype(np.float64)
+        amp = np.minimum(self._resp_max * q, 4095.0)
+        thr = 4095.0 / np.maximum(q, 1e-300)
+        idx = np.searchsorted(self._resp_asc_f64, thr, side="right")
+        integral = q * self._resp_prefix_f64[idx] + 4095.0 * (NUM_TB - idx)
         win = float(cfg.elec_params.windows_edge)
         mm = float(cfg.elec_params.micromegas_edge)
         out = np.empty((len(pads), 8), dtype=np.float64)
@@ -350,22 +361,13 @@ class DetectorSimulator:
         qg = q_s[ev, col]
         plg = pl_s[ev, col]
 
-        # amplitude / integral with per-sample 4095 clipping, computed in
-        # O(log NUM_TB) per point via the sorted-response prefix sums —
-        # on the packed pool only
-        q_safe = jnp.maximum(qg, 1e-12)
-        thr = 4095.0 / q_safe
-        idx = jnp.searchsorted(self._resp_asc, thr, side="right")
-        n_clip = NUM_TB - idx
-        integral = qg * self._resp_prefix[idx] + 4095.0 * n_clip
-        ampg = jnp.minimum(self._resp_max * qg, 4095.0)
-
         # carry only what can't be recomputed on the host: the device->host
-        # tunnel measures ~20 MB/s, so x/y/z/size (all derivable from pad id
-        # and tb with host tables) are NOT produced or shipped — output is
-        # a packed f32[P,3] (amp, integral, tb) + i16[P,2] (pad, label),
-        # 15 bytes/row instead of 36
-        packed_f32 = jnp.stack([ampg, integral, tbf], axis=-1)
+        # tunnel measures ~20 MB/s, so x/y/z/size/amplitude/integral (all
+        # derivable from pad id, tb and the merged charge with host tables —
+        # see assemble_spyral) are NOT produced or shipped — output is a
+        # packed f32[P,2] (charge, tb) + i16[P,2] (pad, label), 12 bytes/row
+        # instead of 36
+        packed_f32 = jnp.stack([qg, tbf], axis=-1)
         packed_f32 = jnp.where(ok[:, None], packed_f32, 0.0)
         packed_i16 = jnp.stack(
             [
@@ -654,11 +656,16 @@ def run_simulation(
         if progress is not None:
             progress.update(n)
 
-    # Serial loop: dispatch -> pull -> assemble -> write. The device link is
-    # a serialized FIFO tunnel here, so neither dispatch-ahead double
-    # buffering (the pull then waits behind the NEXT batch's compute) nor a
-    # writer thread (GIL contention, no transfer/compute overlap to win)
-    # helped — both were measured slower than this simple ordering.
+    # Pipelined loop: dispatch -> pull on the main thread; assemble + HDF5
+    # write on ONE background writer thread (bounded queue, strict batch
+    # order). The device link is a serialized FIFO tunnel, so the pull must
+    # stay ordered before the next dispatch — but the write path touches
+    # only host memory and disk, and sustained disk throughput (~50 MB/s
+    # here) makes writing the dominant phase at Spyral row volumes; it
+    # overlaps the next batch's dispatch/compute/transfer. The writer
+    # thread spends its time in h5py/OS write calls, which release the GIL,
+    # while the main thread blocks in tunnel I/O — so the round-1 concern
+    # about GIL contention does not apply to this split.
     #
     # Budget auto-tuning: sort/merge cost scales with pool CAPACITY, not
     # content (sentinel entries ride every sorting pass), so after the first
@@ -667,6 +674,38 @@ def run_simulation(
     # budget and recomputes the same batch — keys derive from the event
     # range, so the retry is bit-identical physics.
     import os
+    import queue as _queue
+    import threading
+
+    wq: _queue.Queue = _queue.Queue(maxsize=2)
+    werr: list[BaseException] = []
+
+    def _writer_loop():
+        while True:
+            pending = wq.get()
+            if pending is None:
+                return
+            try:
+                if not werr:
+                    write_out(pending)
+            except BaseException as exc:  # surface on the main thread
+                werr.append(exc)
+            finally:
+                wq.task_done()
+
+    wthread = threading.Thread(target=_writer_loop, name="spyral-writer")
+    wthread.start()
+
+    def _enqueue_write(pending):
+        if werr:
+            raise werr[0]
+        wq.put(pending)
+
+    def _drain_writer():
+        wq.put(None)
+        wthread.join()
+        if werr:
+            raise werr[0]
 
     timing = os.environ.get("ATTPC_TPU_TIMING")
     stop = reader.n_events if stop_event is None else min(stop_event, reader.n_events)
@@ -728,7 +767,7 @@ def run_simulation(
                             raise
             else:
                 raise RuntimeError("pool budgets failed to converge")
-            write_out((counts, pf, pi, cloud_np, start, n))
+            _enqueue_write((counts, pf, pi, cloud_np, start, n))
             if not tuned:
                 # retighten to the observed first-batch multiplicities
                 pts_max, uniq_max, kept, steps_alive = stats
@@ -745,6 +784,7 @@ def run_simulation(
                     round_up(steps_alive * 1.3, chunk), engine.n_time_steps
                 )
                 tuned = True
+        _drain_writer()
         if timing:
             import sys
 
@@ -753,6 +793,9 @@ def run_simulation(
                 file=sys.stderr,
             )
     finally:
+        if wthread.is_alive():
+            wq.put(None)
+            wthread.join()
         writer.close()
         reader.close()
         if progress is not None:

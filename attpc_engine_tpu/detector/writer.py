@@ -85,11 +85,23 @@ class SpyralWriter:
         config: Config,
         max_events_per_file: int = 5_000,
         first_run_number: int = 0,
+        compression: str | None = None,
     ):
+        """``compression``: optional HDF5 dataset filter ("lzf" or "gzip").
+        Default None matches the reference's uncompressed layout exactly;
+        "lzf" roughly halves the bytes on real cloud data (measured 85 ->
+        42 MB per 384-event batch) and pays ~1 s/batch of host CPU — a net
+        win when sustained disk throughput is the bottleneck. Readers are
+        unaffected (HDF5 filters are transparent to h5py/Spyral)."""
         self.directory_path = Path(directory_path)
         self.config = config
         self.response: np.ndarray = get_response(config).copy()
         self.max_events_per_file = max_events_per_file
+        self._dset_kwargs = {}
+        if compression == "gzip":
+            self._dset_kwargs = {"compression": "gzip", "compression_opts": 1}
+        elif compression is not None:
+            self._dset_kwargs = {"compression": compression}
         self.run_number = first_run_number
         self.starting_event = 0
         self.last_event = 0
@@ -115,14 +127,18 @@ class SpyralWriter:
         self, spyral: np.ndarray, labels: np.ndarray, event_number: int
     ) -> None:
         self._maybe_rotate(event_number)
-        dset = self.cloud_group.create_dataset(f"cloud_{event_number}", data=spyral)
+        dset = self.cloud_group.create_dataset(
+            f"cloud_{event_number}", data=spyral, **self._dset_kwargs
+        )
         dset.attrs["orig_run"] = self.run_number
         dset.attrs["orig_event"] = event_number
         dset.attrs["ic_amplitude"] = -1.0
         dset.attrs["ic_multiplicity"] = -1.0
         dset.attrs["ic_integral"] = -1.0
         dset.attrs["ic_centroid"] = -1.0
-        self.cloud_group.create_dataset(f"labels_{event_number}", data=labels)
+        self.cloud_group.create_dataset(
+            f"labels_{event_number}", data=labels, **self._dset_kwargs
+        )
         self.last_event = event_number
         self.events_written += 1
 

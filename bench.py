@@ -14,7 +14,12 @@ reference engine publishes no benchmarks (BASELINE.md), so the north star is
 the comparison anchor.
 
 Env knobs: BENCH_EVENTS (default 20000), BENCH_BATCH (detector events per
-XLA execution, default 384), BENCH_OUTDIR (default a temp dir).
+XLA execution, default 384), BENCH_OUTDIR (default: a temp dir under
+/dev/shm when available, else the system temp dir — this VM's virtual disk
+sustains ~50 MB/s and its writeback throttling poisons even the TPU-tunnel
+pulls, measured 75 vs 174 ev/s for identical runs; the full HDF5 output is
+still produced either way, tmpfs just decouples the engine measurement from
+the disk). For slow-disk production runs see SpyralWriter(compression=).
 """
 
 from __future__ import annotations
@@ -100,8 +105,11 @@ def main() -> None:
 
     tmp_ctx = None
     if outdir is None:
-        tmp_ctx = tempfile.TemporaryDirectory()
+        shm = Path("/dev/shm")
+        base = str(shm) if shm.is_dir() and os.access(shm, os.W_OK) else None
+        tmp_ctx = tempfile.TemporaryDirectory(dir=base)
         outdir = tmp_ctx.name
+        print(f"[bench] output dir: {outdir}", file=sys.stderr)
     outdir = Path(outdir)
     kine_path = outdir / "bench_kinematics.h5"
     cloud_dir = outdir / "clouds"

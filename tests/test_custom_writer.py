@@ -82,3 +82,29 @@ def test_reference_protocol_writer(tmp_path):
     assert np.all(data[:, 2] >= 0)
     assert data[:, 2].max() > 0
     assert set(labels.tolist()) <= {2, 3}
+
+
+def test_spyral_writer_lzf_compression(tmp_path):
+    """compression="lzf" writes transparently-readable files with the same
+    data (HDF5 filters are invisible to h5py readers like Spyral)."""
+    import h5py
+    from attpc_engine_tpu.detector import SpyralWriter
+
+    config = Config(
+        DetectorParams(1.0, 45000.0, 2.85, 175000, gas, 0.277, 0.2, 34.0),
+        ElectronicsParams(6.25, 900, 1000, 10, 560, 40),
+        PadParams(),
+    )
+    rng = np.random.default_rng(3)
+    spyral = rng.random((100, 8))
+    labels = rng.integers(0, 4, 100)
+    for comp in (None, "lzf"):
+        d = tmp_path / f"c_{comp}"
+        d.mkdir()
+        w = SpyralWriter(d, config, compression=comp)
+        w.write_spyral_pool(spyral, labels, np.array([100]), np.array([0]))
+        w.close()
+        with h5py.File(d / "run_0000.h5") as f:
+            got = np.asarray(f["cloud/cloud_0"])
+            assert np.array_equal(got, spyral)
+            assert np.array_equal(np.asarray(f["cloud/labels_0"]), labels)

@@ -48,7 +48,7 @@ def main():
     e = int(os.environ.get("PROF_EVENTS", 64))
     steps = int(os.environ.get("PROF_STEPS", 10000))
     point_budget = int(os.environ.get("PROF_POINT_BUDGET", 1024))
-    uniq_budget = int(os.environ.get("PROF_UNIQ_BUDGET", 8192))
+    uniq_budget = int(os.environ.get("PROF_UNIQ_BUDGET", 12288))
     out_budget = int(os.environ.get("PROF_OUT_BUDGET", 8192))
 
     pipeline, sim = _tiny_setup(events_per_batch=e, n_time_steps=steps)
