@@ -19,7 +19,10 @@ structured around per-event sort windows (v3):
    linear scan per pixel). Each pixel's merge key packs
    ((pad * 512 + tb) << rank_bits) | track_rank into one int32: sorting the
    packed key groups equal (pad, tb) runs AND orders each run by track
-   deposition rank — so an UNSTABLE 2-operand sort suffices,
+   deposition rank — so an UNSTABLE 2-operand sort suffices. (A separable
+   per-point cell dedup was tried and reverted: per-row dynamic gathers —
+   take_along_axis — cost ~700 ms at this scale on TPU, dwarfing the
+   ~20 ms the narrower sort saves; see BASELINE.md),
 4. per-event-window sort of (packed_key, q) over the ``point_budget * 100``
    pixel lanes. No event id in the key, so there is NO ceiling on events
    per batch,
@@ -138,7 +141,9 @@ def _run_last(keys: jax.Array) -> jax.Array:
 
 @partial(
     jax.jit,
-    static_argnames=("n_events", "tracks_per_event", "point_budget", "uniq_budget"),
+    static_argnames=(
+        "n_events", "tracks_per_event", "point_budget", "uniq_budget"
+    ),
 )
 def deposit_and_merge(
     key: jax.Array,
@@ -193,7 +198,7 @@ def deposit_and_merge(
         rows), cloud_valid [S] bool, counts [E] i32 (unique points per
         event, clipped to U), n_points [E] i32 (deposit points),
         pool_overflow [] i32, uniq_overflow [] i32, uniq_max [] i32 (max
-        uniques on any event — for budget tuning).
+        uniques on any event — drives budget tuning).
     """
     t_steps, b = electrons.shape
     k_tracks = tracks_per_event
@@ -332,8 +337,8 @@ def deposit_and_merge(
     # label of the run's deposition-last track: tracks deposit in slot
     # order, so max rank in a run == last writer (reference
     # transporter.py:169,249 dict-overwrite semantics)
-    lab_idx = jnp.clip(row * k_tracks + rank2, 0, b - 1)
-    labels = jnp.where(valid2, track_labels[lab_idx], -1).reshape(-1)
+    lab_idx = jnp.clip(row * k_tracks + rank2, 0, b - 1).reshape(-1)
+    labels = jnp.where(valid2.reshape(-1), track_labels[lab_idx], -1)
 
     events_out = jnp.where(valid2, row, e).reshape(-1)
     pads_out = jnp.where(valid2, ufinal // NUM_TB, -1).reshape(-1)

@@ -357,9 +357,13 @@ class DetectorSimulator:
         col = jnp.clip(slots - cum[ev], 0, w - 1)
         ok = slots < jnp.minimum(total, out_pool)
 
-        tbf = -rk[ev, col]
-        qg = q_s[ev, col]
-        plg = pl_s[ev, col]
+        # flat 1-D gathers: 2-D fancy indexing (rk[ev, col]) lowers to a
+        # generalized gather that costs ~400 ms at this scale on TPU; the
+        # same access as a flat index is ~10x cheaper
+        flat_idx = ev * w + col
+        tbf = -rk.reshape(-1)[flat_idx]
+        qg = q_s.reshape(-1)[flat_idx]
+        plg = pl_s.reshape(-1)[flat_idx]
 
         # carry only what can't be recomputed on the host: the device->host
         # tunnel measures ~20 MB/s, so x/y/z/size/amplitude/integral (all

@@ -258,3 +258,4 @@ def _extract_clouds(out, n_events):
             key = int(pads[i]) * 512 + int(tbs[i])
             clouds[int(events[i])][key] = (charges[i], int(labels[i]))
     return clouds
+
