@@ -1,5 +1,5 @@
 """Device-mesh parallelism (event sharding over TPU meshes)."""
 
-from .mesh import event_mesh, shard_events, distributed_init
+from .mesh import distributed_init, event_mesh, event_sharding, shard_events
 
-__all__ = ["event_mesh", "shard_events", "distributed_init"]
+__all__ = ["event_mesh", "event_sharding", "shard_events", "distributed_init"]

@@ -1,0 +1,122 @@
+"""Multi-process (multi-"host") execution over jax.distributed.
+
+The reference is single-process (SURVEY.md section 2.3); this engine's
+distributed slot is ``jax.distributed.initialize`` + the same event-axis
+sharding over the GLOBAL mesh (parallel/mesh.py:16-17). A TPU pod is not
+available here, so this test exercises the real multi-controller code path
+the way JAX upstream does: two OS processes, each owning 2 virtual CPU
+devices, form one 4-device global mesh over a localhost coordinator. The
+detector step runs jit-sharded over the global mesh and every process
+checks its local shard against a single-process reference run.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+_WORKER = r"""
+import os, sys
+import numpy as np
+
+proc = int(sys.argv[1])
+nprocs = int(sys.argv[2])
+coord = sys.argv[3]
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=2"
+).strip()
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=coord, num_processes=nprocs, process_id=proc
+)
+assert jax.process_count() == nprocs, jax.process_count()
+assert len(jax.devices()) == nprocs * 2  # global devices
+assert len(jax.local_devices()) == 2
+
+sys.path.insert(0, os.getcwd())
+from jax.experimental import multihost_utils
+from attpc_engine_tpu.parallel import event_mesh, event_sharding
+from __graft_entry__ import _tiny_setup
+
+E = 8  # global events, 2 per device
+pipeline, sim = _tiny_setup(events_per_batch=E, n_time_steps=250)
+
+# identical host-side sample on every process (same seed)
+vertices, momenta = pipeline.run_batch(E, key=jax.random.PRNGKey(7))
+p3 = momenta[:, sim.sim_indices, :3]
+gvs = np.asarray(p3 / sim.track_masses[None, :, None], dtype=np.float32)
+verts = np.asarray(vertices, dtype=np.float32)
+
+mesh = event_mesh()  # global 4-device mesh
+sh3 = event_sharding(mesh, 2)
+shg = event_sharding(mesh, 3)
+# build global arrays from per-process local shards (the multi-host way)
+v_glob = jax.make_array_from_process_local_data(sh3, verts[proc * 4:(proc + 1) * 4])
+g_glob = jax.make_array_from_process_local_data(shg, gvs[proc * 4:(proc + 1) * 4])
+key = jax.random.PRNGKey(3)
+
+out = sim._sim_jit(key, v_glob, g_glob, E)
+counts = np.asarray(
+    multihost_utils.process_allgather(out["spyral_counts"], tiled=True)
+)
+# single-process reference on this process's own devices
+ref = sim._sim_jit(
+    key, jax.numpy.asarray(verts), jax.numpy.asarray(gvs), E
+)
+ref_counts = np.asarray(ref["spyral_counts"])
+assert counts.shape == (E,)
+np.testing.assert_array_equal(counts, ref_counts)
+assert ref_counts.min() > 0
+print(f"proc {proc}: OK counts={ref_counts.tolist()}", flush=True)
+"""
+
+
+def test_two_process_distributed_detector(tmp_path):
+    """Two jax.distributed processes × 2 virtual CPU devices run the
+    sharded detector step over one global 4-device mesh and match the
+    single-process result."""
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = ""
+    repo = Path(__file__).resolve().parent.parent
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), "2", coord],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            cwd=repo,
+            env=env,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for pr in procs:
+            out, _ = pr.communicate(timeout=600)
+            outs.append(out)
+    finally:
+        for pr in procs:
+            if pr.poll() is None:
+                pr.kill()
+    for i, (pr, out) in enumerate(zip(procs, outs)):
+        assert pr.returncode == 0, f"proc {i} failed:\n{out[-4000:]}"
+        assert f"proc {i}: OK" in out
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
