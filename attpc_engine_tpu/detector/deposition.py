@@ -13,28 +13,19 @@ structured around per-event sort windows (v3):
 2. per-event compaction: each event's valid deposit points are packed into
    its own fixed window of ``point_budget`` slots (row cumsum + one
    scatter); overflow per event is counted,
-3. mesh expansion: every pooled point emits a 10x10 pixel block; pad ids
-   come from one gather into the pre-keyed 1-mm lookup table; the beam-pad
-   veto is pre-folded into that table (vs the reference's 122-element
-   linear scan per pixel). Each pixel's merge key packs
-   ((pad * 512 + tb) << rank_bits) | track_rank into one int32: sorting the
-   packed key groups equal (pad, tb) runs AND orders each run by track
-   deposition rank — so an UNSTABLE 2-operand sort suffices. (A separable
-   per-point cell dedup was tried and reverted: per-row dynamic gathers —
-   take_along_axis — cost ~700 ms at this scale on TPU, dwarfing the
-   ~20 ms the narrower sort saves; see BASELINE.md),
-4. per-event-window sort of (packed_key, q) over the ``point_budget * 100``
-   pixel lanes. No event id in the key, so there is NO ceiling on events
-   per batch,
-5. merge WITHOUT segmented scans: a plain row ``cumsum`` of the sorted
-   charges, then the run total of each (pad, tb) is the difference of the
-   inclusive prefix at consecutive run-ends. (Segmented
-   ``associative_scan`` consuming a sort's output makes the TPU backend's
-   compile time explode — 230 s at [16k, 128] vs 7 s for sort->cumsum,
-   measured; see tools/compile_bisect_*.py.)
-   The run-end rows (one per unique (pad, tb)) are compacted to
-   ``uniq_budget`` slots per event by a second 2-operand sort,
-6. the per-point TB wiggle U[0,1) and the 0 <= tb < 512 bound
+3. mesh expansion: every pooled point emits a 10x10 pixel block. Merge
+   keys pack (space_key << rank_bits) | track_rank into one int32: sorting
+   the packed key groups equal-space runs AND orders each run by track
+   deposition rank — so UNSTABLE 2-operand sorts suffice and the run's
+   last element is the reference's dict-overwrite label writer,
+4. pad ids come from one gather into the pre-keyed 1-mm lookup table
+   (beam-pad veto pre-folded vs the reference's 122-element scan per
+   pixel), then one per-event-window merge (``_merge_runs``: sort -> row
+   cumsum -> run-end prefix differences -> compacting sort; segmented
+   ``associative_scan`` consuming a sort output explodes TPU compile —
+   230 s / OOM measured — while this compiles in seconds). Events never
+   share keys, so there is NO ceiling on events per batch,
+5. the per-point TB wiggle U[0,1) and the 0 <= tb < 512 bound
    (simulator.py:108-113) are applied to the merged entries.
 
 The merged entries are returned in per-event windows of width
@@ -137,6 +128,57 @@ def _run_last(keys: jax.Array) -> jax.Array:
     change = keys[..., 1:] != keys[..., :-1]
     ones = jnp.ones(keys.shape[:-1] + (1,), dtype=bool)
     return jnp.concatenate([change, ones], axis=-1)
+
+
+def _merge_runs(packed: jax.Array, qv: jax.Array, cap: int, rank_bits: int):
+    """Merge per-row entries with equal (packed >> rank_bits) keys.
+
+    The compile-safe TPU merge primitive of this engine: one unstable
+    2-operand window sort groups equal keys (deposition rank rides in the
+    key's low bits, so the run's LAST element is the deposition-last
+    writer), a plain row ``cumsum`` forms an inclusive charge prefix, and a
+    second 2-operand sort compacts the run-end rows to ``cap`` slots per
+    row; each run's total is the difference of the prefix at consecutive
+    run-ends. (A segmented ``associative_scan`` consuming a sort's output
+    makes the TPU compiler explode — 230 s / OOM, measured; this
+    formulation compiles in seconds.)
+
+    packed: [E, W] int32, KEY_SENTINEL for dead lanes (their qv must be 0).
+    qv: [E, W] f32 nonnegative charges.
+
+    Returns (key2 [E, cap] ascending with SENTINEL padding, sums [E, cap],
+    valid2 [E, cap], n_uniq [E] — the TOTAL unique count before capping,
+    for overflow accounting).
+    """
+    e = packed.shape[0]
+    cap = min(cap, packed.shape[1])
+    f32 = jnp.float32
+    packed, qq = jax.lax.sort((packed, qv), dimension=1, num_keys=1)
+    ukey = packed >> rank_bits  # sentinel maps above every real key
+    last = _run_last(ukey)
+    real_last = last & (packed != KEY_SENTINEL)
+    n_uniq = real_last.sum(axis=1, dtype=jnp.int32)
+
+    # inclusive prefix of the sorted charges: invalid lanes carry q = 0,
+    # so they never perturb the prefix
+    c = jnp.cumsum(qq, axis=1, dtype=f32)
+
+    # compact the run-end rows (ascending key; prefix order is preserved
+    # because c is nondecreasing and run-ends are already in key order)
+    key2 = jnp.where(real_last, packed, KEY_SENTINEL)
+    c2op = jnp.where(real_last, c, 0.0)
+    key2, c2 = jax.lax.sort((key2, c2op), dimension=1, num_keys=1)
+    key2 = key2[:, :cap]
+    c2 = c2[:, :cap]
+
+    valid2 = key2 != KEY_SENTINEL
+    prev = jnp.concatenate([jnp.zeros((e, 1), f32), c2[:, :-1]], axis=1)
+    # clamp: XLA's tree cumsum is not strictly monotone in f32, and runs
+    # below the prefix's epsilon (far under one electron) legitimately
+    # difference to zero — matching the reference's own charge-0 dict
+    # entries from per-pixel int() truncation
+    sums = jnp.where(valid2, jnp.maximum(c2 - prev, 0.0), 0.0)
+    return key2, sums, valid2, n_uniq
 
 
 @partial(
@@ -285,51 +327,31 @@ def deposit_and_merge(
     pix_x = jnp.where(has_diff[:, None, None], pix_x, px[:, None, None])
     pix_y = jnp.where(has_diff[:, None, None], pix_y, py[:, None, None])
 
-    # one single-pass gather: pad*NUM_TB or sentinel, veto pre-folded
+    # one single-pass gather: pad*NUM_TB or sentinel, veto pre-folded.
+    # This gather is the hottest op of the whole detector step (~190 ms for
+    # 22M lookups at bench shapes) and is ISSUE-RATE bound: measured
+    # invariant to table size (16 KB vs 1.25 MB) and element width
+    # (i8/i16/i32), so only fewer lookups would help. A two-stage merge
+    # that deduplicated (mm cell, tb) before gathering was implemented and
+    # reverted: real tracks touch ~37k unique (cell, tb) per event vs 58k
+    # pixel lanes — the extra merge pass cost more than the 15% gather cut
+    # (tools/ablate_deposit.py; BASELINE.md).
     pkey = _key_lookup(key_grid_flat, grid_lo_mm, grid_n_mm, pix_x, pix_y)
     pix_valid = (pkey != KEY_SENTINEL) & taken[:, None, None]
 
     n_px = MESH_STEPS * MESH_STEPS
+    w = pb * n_px
     packed = jnp.where(
         pix_valid,
         ((pkey + ptbi[:, None, None]) << rank_bits) | prank[:, None, None],
         KEY_SENTINEL,
-    )
-    w = pb * n_px
-    packed = packed.reshape(e, w)
-    lq = jnp.where(pix_valid, q_pix, 0.0).reshape(e, w)
+    ).reshape(e, w)
+    qq_in = jnp.where(pix_valid, q_pix, 0.0).reshape(e, w)
 
-    # --- per-event-window merge ------------------------------------------ #
-    # One unstable 2-operand sort groups equal (pad, tb) runs, internally
-    # ordered by deposition rank (it rides in the key's low bits).
-    packed, qq = jax.lax.sort((packed, lq), dimension=1, num_keys=1)
-    ukey = packed >> rank_bits  # sentinel maps above every real key
-    last = _run_last(ukey)
-    real_last = last & (packed != KEY_SENTINEL)
-    n_uniq = real_last.sum(axis=1, dtype=jnp.int32)
+    # --- per-event-window merge to unique (pad, tb) ----------------------- #
+    key2, sums, valid2, n_uniq = _merge_runs(packed, qq_in, u_cap, rank_bits)
     uniq_max = n_uniq.max()
     uniq_overflow = jnp.maximum(n_uniq - u_cap, 0).sum()
-
-    # inclusive prefix of the sorted charges: each run's total is the
-    # difference of the prefix at consecutive run-ends (invalid lanes carry
-    # q = 0, so they never perturb the prefix)
-    c = jnp.cumsum(qq, axis=1, dtype=f32)
-
-    # compact the run-end rows (ascending key; prefix order is preserved
-    # because c is nondecreasing and run-ends are already in key order)
-    key2 = jnp.where(real_last, packed, KEY_SENTINEL)
-    c2op = jnp.where(real_last, c, 0.0)
-    key2, c2 = jax.lax.sort((key2, c2op), dimension=1, num_keys=1)
-    key2 = key2[:, :u_cap]
-    c2 = c2[:, :u_cap]
-
-    valid2 = key2 != KEY_SENTINEL
-    prev = jnp.concatenate([jnp.zeros((e, 1), f32), c2[:, :-1]], axis=1)
-    # clamp: XLA's tree cumsum is not strictly monotone in f32, and runs
-    # below the prefix's epsilon (~1e-7 * event total, i.e. far under one
-    # electron) legitimately difference to zero — matching the reference's
-    # own charge-0 dict entries from per-pixel int() truncation
-    sums = jnp.where(valid2, jnp.maximum(c2 - prev, 0.0), 0.0)
     counts = jnp.minimum(n_uniq, u_cap)
 
     ufinal = key2 >> rank_bits
