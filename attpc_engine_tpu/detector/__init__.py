@@ -6,7 +6,12 @@ Public API mirrors the reference's ``attpc_engine.detector``
 
 from .parameters import Config, DetectorParams, ElectronicsParams, PadParams
 from .simulator import DetectorSimulator, EngineParams, run_simulation, simulate
-from .writer import SimulationWriter, SpyralWriter, convert_to_spyral
+from .writer import (
+    SimulationWriter,
+    SpyralWriter,
+    SpyralWriterProc,
+    convert_to_spyral,
+)
 from .response import get_response, apply_response
 
 __all__ = [
@@ -20,6 +25,7 @@ __all__ = [
     "simulate",
     "SimulationWriter",
     "SpyralWriter",
+    "SpyralWriterProc",
     "convert_to_spyral",
     "get_response",
     "apply_response",

@@ -147,9 +147,12 @@ class DetectorSimulator:
         self._labels = jnp.asarray(np.array(self.sim_indices), dtype=jnp.int32)
 
         dev = config.device_arrays()
-        # response integral lookup (host side, f64 — reference arithmetic):
-        # ascending response + prefix sums, consumed by assemble_spyral
-        resp = np.asarray(dev["response"], dtype=np.float64)
+        # response integral lookup (host side, f64 — reference arithmetic,
+        # NOT the f32-rounded device cache): ascending response + prefix
+        # sums, consumed by assemble_spyral
+        from .response import get_response
+
+        resp = np.asarray(get_response(config), dtype=np.float64)
         self._resp_asc_f64 = np.sort(resp)
         self._resp_prefix_f64 = np.concatenate(
             [[0.0], np.cumsum(self._resp_asc_f64)]
@@ -640,13 +643,21 @@ def run_simulation(
         thread, overlapping the next batch's device work."""
         counts, pf, pi, cloud_np, start, n = pending
         if cloud_np is None:
-            with phase_timer(times, "assemble"):
-                spyral_pool, labels_pool = sim.assemble_spyral(pf, pi)
-            with phase_timer(times, "h5py-write"):
-                writer.write_spyral_pool(
-                    spyral_pool, labels_pool, counts,
-                    event_numbers=np.arange(start, start + n),
-                )
+            if hasattr(writer, "write_packed"):
+                # out-of-process writer: ship the packed rows, assembly +
+                # HDF5 happen in the child (see SpyralWriterProc)
+                with phase_timer(times, "ship-to-writer"):
+                    writer.write_packed(
+                        pf, pi, counts, np.arange(start, start + n)
+                    )
+            else:
+                with phase_timer(times, "assemble"):
+                    spyral_pool, labels_pool = sim.assemble_spyral(pf, pi)
+                with phase_timer(times, "h5py-write"):
+                    writer.write_spyral_pool(
+                        spyral_pool, labels_pool, counts,
+                        event_numbers=np.arange(start, start + n),
+                    )
         else:
             # reference SimulationWriter protocol: hand each event its raw
             # [N, 3] = [pad, tb, electrons] cloud (writer.py:26-44)

@@ -29,7 +29,7 @@ import numpy as np
 from .parameters import Config
 from .response import get_response
 
-__all__ = ["SimulationWriter", "SpyralWriter", "convert_to_spyral"]
+__all__ = ["SimulationWriter", "SpyralWriter", "SpyralWriterProc", "convert_to_spyral"]
 
 
 class SimulationWriter(Protocol):
@@ -206,3 +206,149 @@ class SpyralWriter:
     def close(self) -> None:
         self.set_number_of_events()
         self.file.close()
+
+
+class SpyralWriterProc:
+    """Out-of-process SpyralWriter: Spyral assembly + HDF5 writing run in a
+    separate OS process fed over POSIX shared memory.
+
+    Why a process and not a thread: the tunneled-TPU Python client is
+    GIL-sensitive — a GIL-holding sibling thread throttles device pulls to
+    a crawl (measured: a pure-Python spin thread stalled 16 MB pulls from
+    ~34 MB/s to effectively zero). numpy/h5py hold the GIL in bursts, so
+    the only way to overlap host I/O with tunnel traffic on this box is a
+    second process. Output files are byte-identical to ``SpyralWriter``
+    (tests/test_writer_proc.py).
+
+    Drop-in for ``run_simulation``: it exposes ``write_packed`` so the
+    driver ships the 12-byte packed device rows straight to the child and
+    skips in-process assembly entirely.
+    """
+
+    def __init__(
+        self,
+        directory_path: Path | str,
+        config: Config,
+        max_events_per_file: int = 5_000,
+        first_run_number: int = 0,
+        compression: str | None = None,
+        max_outstanding: int = 4,
+    ):
+        import subprocess
+        import sys
+        import tempfile
+
+        self.directory_path = Path(directory_path)
+        self.config = config
+        resp = np.asarray(get_response(config), dtype=np.float64)
+        asc = np.sort(resp)
+        self._tables_file = tempfile.NamedTemporaryFile(
+            suffix=".npz", delete=False
+        )
+        np.savez(
+            self._tables_file,
+            pad_centers=np.asarray(config.pad_centers, dtype=np.float64),
+            pad_sizes=np.asarray(config.pad_sizes, dtype=np.float64),
+            resp_asc=asc,
+            resp_prefix=np.concatenate([[0.0], np.cumsum(asc)]),
+            resp_max=resp.max(),
+            windows_edge=float(config.elec_params.windows_edge),
+            micromegas_edge=float(config.elec_params.micromegas_edge),
+            length=float(config.det_params.length),
+        )
+        self._tables_file.close()
+        child = Path(__file__).resolve().parent.parent / "io" / "spyral_child.py"
+        self._proc = subprocess.Popen(
+            [
+                sys.executable,
+                str(child),
+                self._tables_file.name,
+                str(self.directory_path),
+                str(max_events_per_file),
+                str(first_run_number),
+                compression or "-",
+            ],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            text=True,
+        )
+        self._outstanding: list = []
+        self._max_outstanding = max_outstanding
+        self._closed = False
+
+    def _reap_one(self) -> None:
+        line = self._proc.stdout.readline()
+        if not line.startswith("ok "):
+            raise RuntimeError(
+                f"spyral writer child failed (rc={self._proc.poll()}): {line!r}"
+            )
+        name = line.split()[1]
+        for i, shm in enumerate(self._outstanding):
+            if shm.name == name:
+                shm.close()
+                shm.unlink()
+                del self._outstanding[i]
+                return
+        raise RuntimeError(f"child acked unknown shm {name!r}")
+
+    def write_packed(
+        self,
+        packed_f32: np.ndarray,
+        packed_i16: np.ndarray,
+        counts: np.ndarray,
+        event_numbers: np.ndarray,
+    ) -> None:
+        """Ship one batch of packed device rows (see
+        DetectorSimulator._convert_to_spyral) to the writer process."""
+        import json
+        from multiprocessing import shared_memory
+
+        while len(self._outstanding) >= self._max_outstanding:
+            self._reap_one()
+        rows = len(packed_f32)
+        start = int(event_numbers[0])
+        if rows == 0:
+            # nothing to assemble, but empty events must not shift files
+            return
+        shm = shared_memory.SharedMemory(create=True, size=max(rows * 12, 1))
+        np.ndarray((rows, 2), dtype=np.float32, buffer=shm.buf)[:] = packed_f32
+        np.ndarray((rows, 2), dtype=np.int16, buffer=shm.buf, offset=rows * 8)[
+            :
+        ] = packed_i16
+        self._outstanding.append(shm)
+        msg = {
+            "shm": shm.name,
+            "rows": rows,
+            "counts": np.asarray(counts, dtype=np.int64).tolist(),
+            "start": start,
+        }
+        self._proc.stdin.write(json.dumps(msg) + "\n")
+        self._proc.stdin.flush()
+
+    def write_spyral_pool(
+        self, spyral_pool, labels_pool, counts, event_numbers
+    ) -> None:  # pragma: no cover - driver prefers write_packed
+        raise NotImplementedError(
+            "SpyralWriterProc consumes packed rows via write_packed"
+        )
+
+    def get_directory_name(self) -> Path:
+        return self.directory_path
+
+    def close(self) -> None:
+        import json
+        import os
+
+        if self._closed:
+            return
+        self._closed = True
+        while self._outstanding:
+            self._reap_one()
+        self._proc.stdin.write(json.dumps({"close": True}) + "\n")
+        self._proc.stdin.flush()
+        line = self._proc.stdout.readline()
+        self._proc.stdin.close()
+        self._proc.wait(timeout=120)
+        os.unlink(self._tables_file.name)
+        if line.strip() != "done":
+            raise RuntimeError(f"spyral writer child exited abnormally: {line!r}")

@@ -54,7 +54,7 @@ def main() -> None:
         ElectronicsParams,
         PadParams,
         EngineParams,
-        SpyralWriter,
+        SpyralWriterProc,
         run_simulation,
     )
     from attpc_engine_tpu.kinematics import (
@@ -127,7 +127,7 @@ def main() -> None:
         pipeline, det_batch * 2, warm_path, batch_size=kine_batch, seed=1,
         show_progress=False,
     )
-    writer = SpyralWriter(cloud_dir, config)
+    writer = SpyralWriterProc(cloud_dir, config)
     run_simulation(config, warm_path, writer, engine=engine, seed=1,
                    show_progress=False)
     compile_s = time.perf_counter() - t0
@@ -140,7 +140,7 @@ def main() -> None:
         show_progress=False,
     )
     t2 = time.perf_counter()
-    writer = SpyralWriter(cloud_dir, config, first_run_number=100)
+    writer = SpyralWriterProc(cloud_dir, config, first_run_number=100)
     run_simulation(config, kine_path, writer, engine=engine, seed=1,
                    show_progress=False)
     t3 = time.perf_counter()

@@ -1,0 +1,83 @@
+"""SpyralWriterProc must produce byte-identical files to SpyralWriter."""
+
+import glob
+
+import h5py
+import numpy as np
+
+from attpc_engine_tpu import nuclear_map
+from attpc_engine_tpu.nuclear import GasTarget
+from attpc_engine_tpu.kinematics import (
+    KinematicsPipeline,
+    ExcitationGaussian,
+    PolarUniform,
+    Reaction,
+    run_kinematics_pipeline,
+)
+from attpc_engine_tpu.detector import (
+    Config,
+    DetectorParams,
+    ElectronicsParams,
+    PadParams,
+    EngineParams,
+    SpyralWriter,
+    SpyralWriterProc,
+    run_simulation,
+)
+
+gas = GasTarget([(1, 2, 2)], 300.0, nuclear_map)
+
+
+def test_writer_proc_byte_identical(tmp_path):
+    pipeline = KinematicsPipeline(
+        [
+            Reaction(
+                target=nuclear_map.get_data(1, 2),
+                projectile=nuclear_map.get_data(6, 12),
+                ejectile=nuclear_map.get_data(1, 1),
+            )
+        ],
+        [ExcitationGaussian(0.0, 0.0)],
+        [PolarUniform(0.0, np.pi)],
+        120.0,
+    )
+    kine = tmp_path / "k.h5"
+    run_kinematics_pipeline(pipeline, 12, kine, batch_size=12, seed=31,
+                            show_progress=False)
+    config = Config(
+        DetectorParams(1.0, 45000.0, 2.85, 175000, gas, 0.277, 0.2, 34.0),
+        ElectronicsParams(6.25, 900, 1000, 10, 560, 40),
+        PadParams(),
+    )
+    engine = EngineParams(
+        n_time_steps=1000, chunk_steps=250, point_budget=2048,
+        out_budget=8192, events_per_batch=4,
+    )
+    d_thread = tmp_path / "thread"
+    d_proc = tmp_path / "proc"
+    d_thread.mkdir()
+    d_proc.mkdir()
+    # rotation exercised too: 5 events per file over 12 events
+    run_simulation(config, kine, SpyralWriter(d_thread, config, 5),
+                   engine=engine, seed=6, show_progress=False)
+    run_simulation(config, kine, SpyralWriterProc(d_proc, config, 5),
+                   engine=engine, seed=6, show_progress=False)
+
+    files_a = sorted(glob.glob(str(d_thread / "run_*.h5")))
+    files_b = sorted(glob.glob(str(d_proc / "run_*.h5")))
+    assert [f.split("/")[-1] for f in files_a] == [
+        f.split("/")[-1] for f in files_b
+    ]
+    assert len(files_a) >= 2  # rotation happened
+    for fa, fb in zip(files_a, files_b):
+        with h5py.File(fa) as a, h5py.File(fb) as b:
+            ga, gb = a["cloud"], b["cloud"]
+            assert set(ga.keys()) == set(gb.keys())
+            assert ga.attrs["min_event"] == gb.attrs["min_event"]
+            assert ga.attrs["max_event"] == gb.attrs["max_event"]
+            for k in ga.keys():
+                np.testing.assert_array_equal(
+                    np.asarray(ga[k]), np.asarray(gb[k]), err_msg=k
+                )
+                for attr in ga[k].attrs:
+                    assert ga[k].attrs[attr] == gb[k].attrs[attr], (k, attr)
