@@ -16,9 +16,6 @@ import subprocess
 import sys
 from pathlib import Path
 
-import numpy as np
-import pytest
-
 _WORKER = r"""
 import os, sys
 import numpy as np
