@@ -29,8 +29,9 @@ gas = GasTarget([(1, 2, 2)], 300.0, nuclear_map)
 class RecordingWriter:
     """Reference-protocol writer: write(data, labels, config, event_number)."""
 
-    def __init__(self):
+    def __init__(self, directory: Path):
         self.events = {}
+        self.directory = directory
 
     def write(self, data, labels, config, event_number):
         assert data.shape[1] == 3
@@ -38,7 +39,7 @@ class RecordingWriter:
         self.events[event_number] = (data.copy(), labels.copy())
 
     def get_directory_name(self) -> Path:
-        return Path(".")
+        return self.directory
 
     def close(self):
         self.closed = True
@@ -65,7 +66,7 @@ def test_reference_protocol_writer(tmp_path):
         ElectronicsParams(6.25, 900, 1000, 10, 560, 40),
         PadParams(),
     )
-    writer = RecordingWriter()
+    writer = RecordingWriter(tmp_path)
     engine = EngineParams(
         n_time_steps=1000, chunk_steps=250, point_budget=2048,
         cloud_cap=8192, out_budget=8192, events_per_batch=4,
