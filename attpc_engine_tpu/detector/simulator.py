@@ -33,6 +33,9 @@ from .transport import TrackSpecies, integrate_tracks
 
 __all__ = ["EngineParams", "DetectorSimulator", "simulate", "run_simulation"]
 
+# single-slot memo for the simulate() compatibility shim (see its NOTE)
+_SIMULATE_CACHE: dict = {}
+
 
 @dataclass
 class EngineParams:
@@ -478,10 +481,28 @@ def simulate(
     """Single-event compatibility API (reference simulator.py:52-115).
 
     Returns (cloud [n, 3] = [pad, tb_float, electrons], labels [n]).
+
+    NOTE: each distinct (config, species, indices, engine) combination
+    compiles a device program (minutes on a cold TPU). Repeat calls with
+    the same setup reuse a cached ``DetectorSimulator`` — but for bulk
+    work use ``run_simulation`` or ``DetectorSimulator.simulate_batch``,
+    which amortize one compilation over whole event batches.
     """
-    sim = DetectorSimulator(
-        config, proton_numbers, mass_numbers, indices=indices, engine=engine
+    cache_key = (
+        id(config),
+        tuple(np.asarray(proton_numbers).tolist()),
+        tuple(np.asarray(mass_numbers).tolist()),
+        tuple(indices),
+        id(engine),
     )
+    cached = _SIMULATE_CACHE.get(cache_key)
+    if cached is None:
+        cached = DetectorSimulator(
+            config, proton_numbers, mass_numbers, indices=indices, engine=engine
+        )
+        _SIMULATE_CACHE.clear()  # one live entry: these hold device tables
+        _SIMULATE_CACHE[cache_key] = cached
+    sim = cached
     key = jax.random.PRNGKey(int(rng.integers(0, 2**63 - 1)))
     out = sim.simulate_batch(key, vertex[None, :], momenta[None, :, :])
     sel = np.asarray(out["cloud_valid"]) & (np.asarray(out["events"]) == 0)
