@@ -584,10 +584,9 @@ def run_simulation(
     eb = engine.events_per_batch
 
     class _PoolOverflow(RuntimeError):
-        def __init__(self, kind: str, amount: int):
-            super().__init__(f"{kind} pool overflow ({amount})")
-            self.kind = kind
-            self.amount = amount
+        def __init__(self, kinds: dict):
+            super().__init__(f"pool overflow: {kinds}")
+            self.kinds = kinds
 
     def pull_batch(out, n, eb, cur_steps):
         """Pull one batch's results (device sync + tunnel transfer).
@@ -608,18 +607,23 @@ def run_simulation(
         out_overflow, uniq_overflow, pool_overflow, steps_alive, uniq_max = (
             meta[-5:]
         )
+        overflows = {}
         if pool_overflow > 0:
-            raise _PoolOverflow("point", int(pool_overflow))
+            overflows["point"] = int(pool_overflow)
         if uniq_overflow > 0:
-            raise _PoolOverflow("uniq", int(uniq_overflow))
+            overflows["uniq"] = int(uniq_overflow)
         if out_overflow > 0:
-            raise _PoolOverflow("out", int(out_overflow))
+            overflows["out"] = int(out_overflow)
         if "cloud_overflow" in out and int(np.asarray(out["cloud_overflow"])) > 0:
-            raise _PoolOverflow("cloud", int(np.asarray(out["cloud_overflow"])))
+            overflows["cloud"] = int(np.asarray(out["cloud_overflow"]))
         if steps_alive >= cur_steps and cur_steps < engine.n_time_steps:
             # tracks were still alive when the tuned-down window ended:
             # deposits may be missing vs the physics window — retry larger
-            raise _PoolOverflow("steps", int(steps_alive))
+            overflows["steps"] = int(steps_alive)
+        if overflows:
+            # every undersized pool is reported at once so one retry fixes
+            # them all (doubling one pool per attempt may not converge)
+            raise _PoolOverflow(overflows)
         stats = (
             int(n_points.max(initial=0)),
             int(uniq_max),
@@ -713,9 +717,11 @@ def run_simulation(
     # Budget auto-tuning: sort/merge cost scales with pool CAPACITY, not
     # content (sentinel entries ride every sorting pass), so after the first
     # batch the pools are retightened to ~1.6x the observed multiplicities
-    # (one extra compilation). A later batch overflowing a pool doubles that
-    # budget and recomputes the same batch — keys derive from the event
-    # range, so the retry is bit-identical physics.
+    # (one extra compilation). A later batch overflowing a pool doubles
+    # every undersized budget at once and recomputes the same batch — keys
+    # derive from the event range, so the retry reproduces the same physics
+    # (bit-identical up to the TB wiggle stream, whose draw shape follows
+    # the pool size).
     import os
     import queue as _queue
     import threading
@@ -817,16 +823,16 @@ def run_simulation(
                     )
                     break
                 except _PoolOverflow as ov:
-                    if ov.kind == "steps":
-                        budgets["steps"] = min(
-                            round_up(budgets["steps"] * 2, chunk),
-                            engine.n_time_steps,
-                        )
-
-                    else:
-                        budgets[ov.kind] *= 2
-                        if budgets[ov.kind] > 2**21:
-                            raise
+                    for kind in ov.kinds:
+                        if kind == "steps":
+                            budgets["steps"] = min(
+                                round_up(budgets["steps"] * 2, chunk),
+                                engine.n_time_steps,
+                            )
+                        else:
+                            budgets[kind] *= 2
+                            if budgets[kind] > 2**21:
+                                raise
             else:
                 raise RuntimeError("pool budgets failed to converge")
             if cloud_np is not None:

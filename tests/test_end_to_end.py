@@ -237,3 +237,68 @@ def test_full_chain_multistep(tmp_path):
         # the final proton at 7 (10B(3He,a)9B* -> a + 5Li -> a + p)
         assert all_labels <= {2, 4, 6, 7}
         assert len(all_labels) >= 3  # several species actually hit pads
+
+
+def test_overflow_retry_self_heals(tmp_path):
+    """Deliberately tiny initial budgets must self-heal (double + retry,
+    deterministic keys) and produce the same events as generous budgets."""
+    import glob
+
+    pipeline = _pipeline()
+    kine = tmp_path / "k.h5"
+    run_kinematics_pipeline(pipeline, 8, kine, batch_size=8, seed=77,
+                            show_progress=False)
+    config = _config()
+
+    outs = {}
+    for name, engine in (
+        (
+            "tiny",
+            EngineParams(
+                n_time_steps=1000, chunk_steps=250, point_budget=64,
+                uniq_budget=1024, out_budget=1024, events_per_batch=4,
+            ),
+        ),
+        (
+            "big",
+            EngineParams(
+                n_time_steps=1000, chunk_steps=250, point_budget=2048,
+                uniq_budget=12288, out_budget=8192, events_per_batch=4,
+            ),
+        ),
+    ):
+        d = tmp_path / name
+        d.mkdir()
+        run_simulation(
+            config, kine, SpyralWriter(d, config), engine=engine, seed=3,
+            show_progress=False, auto_tune=False,
+        )
+        outs[name] = sorted(glob.glob(str(d / "run_*.h5")))
+
+    import h5py
+
+    # the TB wiggle stream depends on the pool SHAPE, so tb/z jitter
+    # differs between budget settings; everything else must match exactly
+    def keyed(f):
+        events = {}
+        g = f["cloud"]
+        for k in g.keys():
+            if not k.startswith("cloud_"):
+                continue
+            d = np.asarray(g[k])
+            lab = np.asarray(g[k.replace("cloud", "labels")])
+            rows = {}
+            for i in range(len(d)):
+                rows[(int(d[i, 5]), int(d[i, 6]))] = (
+                    d[i, 0], d[i, 1], d[i, 3], d[i, 4], d[i, 7], lab[i]
+                )
+            events[k] = rows
+        return events
+
+    with h5py.File(outs["tiny"][0]) as a, h5py.File(outs["big"][0]) as b:
+        ea, eb = keyed(a), keyed(b)
+        assert set(ea.keys()) == set(eb.keys())
+        for k in ea:
+            assert ea[k].keys() == eb[k].keys(), k
+            for key in ea[k]:
+                assert ea[k][key] == eb[k][key], (k, key)
