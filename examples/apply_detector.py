@@ -43,5 +43,7 @@ config = Config(
 )
 
 if __name__ == "__main__":
+    # SpyralWriterProc (same signature) writes byte-identical files from a
+    # separate OS process, overlapping all host I/O with device work
     writer = SpyralWriter(cloud_dir, config)
     run_simulation(config, kine_path, writer, seed=1234)
