@@ -302,3 +302,65 @@ def test_overflow_retry_self_heals(tmp_path):
             assert ea[k].keys() == eb[k].keys(), k
             for key in ea[k]:
                 assert ea[k][key] == eb[k][key], (k, key)
+
+
+def test_decay_chain_detector_end_to_end(tmp_path):
+    """A 3-step chain — 10B(3He,4He)9B* -> 4He + 5Li -> 4He + p — runs
+    through the detector with 4 simulated charged products per event
+    (exercises the multi-track rank packing in the merge keys and the
+    default exit-channel index rule)."""
+    from attpc_engine_tpu.kinematics import Decay, ExcitationGaussian
+
+    pipeline = KinematicsPipeline(
+        [
+            Reaction(
+                target=nuclear_map.get_data(5, 10),
+                projectile=nuclear_map.get_data(2, 3),
+                ejectile=nuclear_map.get_data(2, 4),
+            ),
+            Decay(
+                parent=nuclear_map.get_data(5, 9),
+                residual_1=nuclear_map.get_data(2, 4),
+            ),
+            Decay(
+                parent=nuclear_map.get_data(3, 5),
+                residual_1=nuclear_map.get_data(2, 4),
+            ),
+        ],
+        [
+            ExcitationGaussian(16.8, 0.2),
+            ExcitationGaussian(0.0, 1.25),
+            ExcitationGaussian(0.0, 0.0),
+        ],
+        [PolarUniform(0.0, np.pi)] * 3,
+        24.0,
+    )
+    kine = tmp_path / "chain.h5"
+    run_kinematics_pipeline(pipeline, 8, kine, batch_size=8, seed=12,
+                            show_progress=False)
+    config = _config()
+    engine = EngineParams(
+        n_time_steps=1500, chunk_steps=250, point_budget=2048,
+        out_budget=8192, events_per_batch=4,
+    )
+    d = tmp_path / "clouds"
+    d.mkdir()
+    run_simulation(config, kine, SpyralWriter(d, config), engine=engine,
+                   seed=4, show_progress=False)
+    import h5py
+
+    with h5py.File(d / "run_0000.h5") as f:
+        g = f["cloud"]
+        names = [k for k in g.keys() if k.startswith("cloud_")]
+        assert len(names) >= 6  # nearly every event lights up pads
+        # default indices rule: [2, 4, 6, 7] = ejectile, decay products
+        # with the final residual (reference simulator.py:153-158)
+        seen_labels = set()
+        for name in names:
+            n = name.split("_")[1]
+            lab = np.asarray(g[f"labels_{n}"])
+            seen_labels |= set(lab.tolist())
+            d_arr = np.asarray(g[name])
+            assert (np.diff(d_arr[:, 2]) >= 0).all()
+        assert seen_labels <= {2, 4, 6, 7}
+        assert len(seen_labels) >= 3  # several species actually hit pads
