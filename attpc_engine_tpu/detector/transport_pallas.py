@@ -182,12 +182,16 @@ def integrate_tracks_pallas(
     efield: float,
     dt: float = DT,
     n_steps: int = 500,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Drop-in for transport.integrate_tracks (same returns), one kernel.
 
-    ``interpret=True`` runs the Pallas interpreter (CPU-testable).
+    ``interpret``: None (default) compiles the Mosaic kernel on TPU and
+    falls back to the Pallas interpreter elsewhere (CPU tests run the
+    exact same kernel code); True forces the interpreter.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     b = init_pos.shape[0]
     f32 = jnp.float32
     s, n_tab = species.dedx.shape

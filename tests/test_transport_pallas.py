@@ -41,3 +41,28 @@ def test_pallas_matches_scan_interpret():
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
     assert np.abs(np.asarray(p1) - np.asarray(p2)).max() < 1e-6  # meters
     assert np.abs(np.asarray(d1) - np.asarray(d2)).max() < 1e-4  # MeV
+
+
+def test_run_simulation_with_pallas_transport(tmp_path):
+    """The pallas_transport engine flag produces working output through the
+    full driver (interpret mode on CPU, Mosaic on TPU)."""
+    from attpc_engine_tpu.detector import EngineParams, SpyralWriter, run_simulation
+    from attpc_engine_tpu.kinematics import run_kinematics_pipeline
+
+    pipeline, sim = _tiny_setup(events_per_batch=4)
+    kine = tmp_path / "k.h5"
+    run_kinematics_pipeline(pipeline, 4, kine, batch_size=4, seed=8,
+                            show_progress=False)
+    engine = EngineParams(
+        n_time_steps=250, chunk_steps=250, point_budget=2048,
+        out_budget=8192, events_per_batch=4, pallas_transport=True,
+    )
+    d = tmp_path / "clouds"
+    d.mkdir()
+    run_simulation(sim.config, kine, SpyralWriter(d, sim.config),
+                   engine=engine, seed=2, show_progress=False)
+    import h5py
+
+    with h5py.File(d / "run_0000.h5") as f:
+        names = [k for k in f["cloud"].keys() if k.startswith("cloud_")]
+        assert len(names) >= 3
