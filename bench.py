@@ -101,7 +101,8 @@ def main() -> None:
     )
     # default engine params; run_simulation auto-tunes the pool budgets to
     # the observed multiplicities after the first batch
-    engine = EngineParams(events_per_batch=det_batch)
+    pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
+    engine = EngineParams(events_per_batch=det_batch, pallas_transport=pallas)
 
     tmp_ctx = None
     if outdir is None:
