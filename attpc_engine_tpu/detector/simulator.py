@@ -37,6 +37,31 @@ __all__ = ["EngineParams", "DetectorSimulator", "simulate", "run_simulation"]
 _SIMULATE_CACHE: dict = {}
 
 
+def _config_fingerprint(config: "Config") -> tuple:
+    """Value-derived key of everything a DetectorSimulator captures from a
+    Config (physics scalars, electronics, gas identity, pad asset sources)."""
+    dp, ep, pp = config.det_params, config.elec_params, config.pad_params
+    gas = dp.gas_target
+    return (
+        dp.length, dp.efield, dp.bfield, dp.mpgd_gain, dp.diffusion,
+        dp.fano_factor, dp.w_value,
+        ep.clock_freq, ep.amp_gain, ep.shaping_time, ep.micromegas_edge,
+        ep.windows_edge, ep.adc_threshold,
+        tuple(gas.components), gas.pressure, getattr(gas, "temperature", None),
+        str(pp.grid_path), str(pp.geometry_path), str(pp.pad_size_path),
+    )
+
+
+def _engine_fingerprint(engine: "EngineParams | None") -> tuple | None:
+    if engine is None:
+        return None
+    return (
+        engine.n_time_steps, engine.dt, engine.chunk_steps,
+        engine.point_budget, engine.uniq_budget, engine.cloud_cap,
+        engine.out_budget, engine.events_per_batch, engine.pallas_transport,
+    )
+
+
 @dataclass
 class EngineParams:
     """Engine-level knobs of the batched detector simulation (no analog in
@@ -510,13 +535,19 @@ def simulate(
     the same setup reuse a cached ``DetectorSimulator`` — but for bulk
     work use ``run_simulation`` or ``DetectorSimulator.simulate_batch``,
     which amortize one compilation over whole event batches.
+
+    The cache key is a content fingerprint of the config/engine values (NOT
+    object identity: a garbage-collected Config could alias a new one at
+    the same id, silently reusing stale device tables). Mutating a Config
+    in place between calls is picked up for every fingerprinted field; pad
+    assets are fingerprinted by their source paths.
     """
     cache_key = (
-        id(config),
+        _config_fingerprint(config),
         tuple(np.asarray(proton_numbers).tolist()),
         tuple(np.asarray(mass_numbers).tolist()),
         tuple(indices),
-        id(engine),
+        _engine_fingerprint(engine),
     )
     cached = _SIMULATE_CACHE.get(cache_key)
     if cached is None:
@@ -627,6 +658,7 @@ def run_simulation(
             meta = np.asarray(out["meta_i32"])
         counts = meta[:n]
         n_points = meta[eb : eb + n]
+        merged_counts = meta[2 * eb : 2 * eb + n]  # pre-threshold entries
         out_overflow, uniq_overflow, pool_overflow, steps_alive, uniq_max = (
             meta[-5:]
         )
@@ -674,7 +706,7 @@ def run_simulation(
                 pi_dev = out["packed_i16"][:total_q]
                 pf_dev.copy_to_host_async()
                 pi_dev.copy_to_host_async()
-            return counts, (pf_dev, pi_dev, total), None, None, stats
+            return counts, (pf_dev, pi_dev, total), merged_counts, None, stats
         # reference SimulationWriter protocol path: pull the raw cloud
         # (compacted on device by simulate_batch(compact=True), so the
         # counts come from the compacted layout, not the meta block)
@@ -696,14 +728,15 @@ def run_simulation(
     def write_out(pending):
         """Assemble (host numpy) + write one batch; runs on the writer
         thread, overlapping the next batch's device work."""
-        counts, pf, pi, cloud_np, start, n = pending
+        counts, pf, pi, raw_counts, cloud_np, start, n = pending
         if cloud_np is None:
             if hasattr(writer, "write_packed"):
                 # out-of-process writer: ship the packed rows, assembly +
                 # HDF5 happen in the child (see SpyralWriterProc)
                 with phase_timer(times, "ship-to-writer"):
                     writer.write_packed(
-                        pf, pi, counts, np.arange(start, start + n)
+                        pf, pi, counts, np.arange(start, start + n),
+                        raw_counts=raw_counts,
                     )
             else:
                 with phase_timer(times, "assemble"):
@@ -712,6 +745,7 @@ def run_simulation(
                     writer.write_spyral_pool(
                         spyral_pool, labels_pool, counts,
                         event_numbers=np.arange(start, start + n),
+                        raw_counts=raw_counts,
                     )
         else:
             # reference SimulationWriter protocol: hand each event its raw
@@ -803,14 +837,14 @@ def run_simulation(
     # (started by pull_batch via copy_to_host_async) streams over the
     # tunnel while the NEXT batch computes, and is materialized right after
     # that batch's dispatch
-    pending_dev = None  # (counts, (pf_dev, pi_dev, total), start, n)
+    pending_dev = None  # (counts, (pf_dev, pi_dev, total), raw_counts, start, n)
 
     def materialize_and_write(p):
-        counts_p, (pf_dev, pi_dev, total), start_p, n_p = p
+        counts_p, (pf_dev, pi_dev, total), raw_p, start_p, n_p = p
         with phase_timer(times, "pull-packed"):
             pf = np.asarray(pf_dev)[:total]
             pi = np.asarray(pi_dev)[:total]
-        _enqueue_write((counts_p, pf, pi, None, start_p, n_p))
+        _enqueue_write((counts_p, pf, pi, raw_p, None, start_p, n_p))
 
     try:
         for start in range(start_event, stop, eb):
@@ -841,7 +875,7 @@ def run_simulation(
                     materialize_and_write(pending_dev)
                     pending_dev = None
                 try:
-                    counts, handles, _pi, cloud_np, stats = pull_batch(
+                    counts, handles, merged_cts, cloud_np, stats = pull_batch(
                         out, n, eb, budgets["steps"]
                     )
                     break
@@ -859,9 +893,9 @@ def run_simulation(
             else:
                 raise RuntimeError("pool budgets failed to converge")
             if cloud_np is not None:
-                _enqueue_write((counts, None, None, cloud_np, start, n))
+                _enqueue_write((counts, None, None, None, cloud_np, start, n))
             else:
-                pending_dev = (counts, handles, start, n)
+                pending_dev = (counts, handles, merged_cts, start, n)
             if not tuned:
                 # retighten to the observed first-batch multiplicities
                 pts_max, uniq_max, kept, steps_alive = stats

@@ -31,6 +31,11 @@ from .response import get_response
 
 __all__ = ["SimulationWriter", "SpyralWriter", "SpyralWriterProc", "convert_to_spyral"]
 
+# reference-parity payloads for events whose points all failed the ADC
+# threshold (the reference writes 0-row datasets for them, writer.py:240-251)
+_EMPTY_SPYRAL = np.empty((0, 8), dtype=np.float64)
+_EMPTY_LABELS = np.empty((0,), dtype=np.int64)
+
 
 class SimulationWriter(Protocol):
     """Protocol for simulation writers (reference writer.py:12-58)."""
@@ -148,12 +153,24 @@ class SpyralWriter:
         labels: np.ndarray,
         counts: np.ndarray,
         event_numbers: np.ndarray,
+        raw_counts: np.ndarray | None = None,
     ) -> None:
         """Write a device-converted batch: spyral [E, C, 8] (valid rows
-        first), labels [E, C], counts [E]. Empty events are skipped."""
+        first), labels [E, C], counts [E].
+
+        Empty-event semantics match the reference
+        (simulator.py:204-205 + writer.py:194-255): an event whose RAW cloud
+        was empty is skipped entirely, but an event whose points all failed
+        the ADC threshold still gets empty cloud_N/labels_N datasets and
+        counts toward file rotation. ``raw_counts`` (pre-threshold merged
+        entries per event) drives that distinction; None treats kept == 0 as
+        raw-empty (the old skip behavior)."""
         for i, event_number in enumerate(event_numbers):
             n = int(counts[i])
             if n == 0:
+                if raw_counts is None or int(raw_counts[i]) == 0:
+                    continue
+                self._write_event(_EMPTY_SPYRAL, _EMPTY_LABELS, int(event_number))
                 continue
             self._write_event(spyral[i, :n], labels[i, :n], int(event_number))
 
@@ -163,14 +180,18 @@ class SpyralWriter:
         labels_pool: np.ndarray,
         counts: np.ndarray,
         event_numbers: np.ndarray,
+        raw_counts: np.ndarray | None = None,
     ) -> None:
         """Write a pooled device-converted batch: spyral_pool [sum(counts), 8]
-        with the events' rows concatenated in order. Empty events are
-        skipped."""
+        with the events' rows concatenated in order. Empty-event semantics as
+        in :meth:`write_spyral_batch`."""
         offsets = np.concatenate([[0], np.cumsum(counts)])
         for i, event_number in enumerate(event_numbers):
             lo, hi = int(offsets[i]), int(offsets[i + 1])
             if hi == lo:
+                if raw_counts is None or int(raw_counts[i]) == 0:
+                    continue
+                self._write_event(_EMPTY_SPYRAL, _EMPTY_LABELS, int(event_number))
                 continue
             self._write_event(
                 spyral_pool[lo:hi], labels_pool[lo:hi], int(event_number)
@@ -275,6 +296,24 @@ class SpyralWriterProc:
         self._outstanding: list = []
         self._max_outstanding = max_outstanding
         self._closed = False
+        # a parent crash must not leak owned /dev/shm segments: unlink any
+        # still-outstanding ones at interpreter exit (round-2 ADVICE item 5)
+        import atexit
+        import weakref
+
+        outstanding = self._outstanding
+
+        def _cleanup(segs=outstanding):
+            for shm in segs:
+                try:
+                    shm.close()
+                    shm.unlink()
+                except Exception:
+                    pass
+            segs.clear()
+
+        self._atexit_cleanup = _cleanup
+        atexit.register(_cleanup)
 
     def _reap_one(self) -> None:
         line = self._proc.stdout.readline()
@@ -297,29 +336,48 @@ class SpyralWriterProc:
         packed_i16: np.ndarray,
         counts: np.ndarray,
         event_numbers: np.ndarray,
+        raw_counts: np.ndarray | None = None,
     ) -> None:
         """Ship one batch of packed device rows (see
-        DetectorSimulator._convert_to_spyral) to the writer process."""
+        DetectorSimulator._convert_to_spyral) to the writer process.
+
+        ``raw_counts`` (pre-threshold merged entries per event) lets the
+        child write reference-parity EMPTY datasets for events whose points
+        all failed the ADC threshold (see SpyralWriter.write_spyral_batch).
+        """
         import json
         from multiprocessing import shared_memory
 
+        if self._proc.poll() is not None:
+            # surface a child crash at the next write instead of a broken
+            # pipe at close (round-2 ADVICE item 5)
+            raise RuntimeError(
+                f"spyral writer child exited early (rc={self._proc.returncode})"
+            )
         while len(self._outstanding) >= self._max_outstanding:
             self._reap_one()
         rows = len(packed_f32)
         start = int(event_numbers[0])
-        if rows == 0:
-            # nothing to assemble, but empty events must not shift files
+        raw_list = (
+            None
+            if raw_counts is None
+            else np.asarray(raw_counts, dtype=np.int64).tolist()
+        )
+        if rows == 0 and (raw_counts is None or int(np.sum(raw_counts)) == 0):
+            # nothing to assemble and no empty events to record
             return
         shm = shared_memory.SharedMemory(create=True, size=max(rows * 12, 1))
-        np.ndarray((rows, 2), dtype=np.float32, buffer=shm.buf)[:] = packed_f32
-        np.ndarray((rows, 2), dtype=np.int16, buffer=shm.buf, offset=rows * 8)[
-            :
-        ] = packed_i16
+        if rows:
+            np.ndarray((rows, 2), dtype=np.float32, buffer=shm.buf)[:] = packed_f32
+            np.ndarray(
+                (rows, 2), dtype=np.int16, buffer=shm.buf, offset=rows * 8
+            )[:] = packed_i16
         self._outstanding.append(shm)
         msg = {
             "shm": shm.name,
             "rows": rows,
             "counts": np.asarray(counts, dtype=np.int64).tolist(),
+            "raw_counts": raw_list,
             "start": start,
         }
         self._proc.stdin.write(json.dumps(msg) + "\n")
@@ -336,19 +394,30 @@ class SpyralWriterProc:
         return self.directory_path
 
     def close(self) -> None:
+        import atexit
         import json
         import os
 
         if self._closed:
             return
         self._closed = True
-        while self._outstanding:
-            self._reap_one()
-        self._proc.stdin.write(json.dumps({"close": True}) + "\n")
-        self._proc.stdin.flush()
-        line = self._proc.stdout.readline()
-        self._proc.stdin.close()
-        self._proc.wait(timeout=120)
-        os.unlink(self._tables_file.name)
+        try:
+            while self._outstanding:
+                self._reap_one()
+            self._proc.stdin.write(json.dumps({"close": True}) + "\n")
+            self._proc.stdin.flush()
+            line = self._proc.stdout.readline()
+            self._proc.stdin.close()
+            self._proc.wait(timeout=120)
+        finally:
+            self._atexit_cleanup()
+            try:
+                atexit.unregister(self._atexit_cleanup)
+            except Exception:
+                pass
+            try:
+                os.unlink(self._tables_file.name)
+            except OSError:
+                pass
         if line.strip() != "done":
             raise RuntimeError(f"spyral writer child exited abnormally: {line!r}")

@@ -28,6 +28,9 @@ from multiprocessing import resource_tracker, shared_memory
 import h5py
 import numpy as np
 
+EMPTY_SPYRAL = np.empty((0, 8), dtype=np.float64)
+EMPTY_LABELS = np.empty((0,), dtype=np.int64)
+
 
 def assemble(pf, pi, tables):
     """Packed device rows -> Spyral [n, 8] f64 + labels i64."""
@@ -145,10 +148,18 @@ def main() -> int:
         out.flush()
         spyral, labels = assemble(pf, pi, tables)
         counts = msg["counts"]
+        raw_counts = msg.get("raw_counts")
         offsets = np.concatenate([[0], np.cumsum(counts)])
         start = msg["start"]
         for i, n in enumerate(counts):
             if n == 0:
+                # reference parity: raw-empty events are skipped, but events
+                # whose points all failed the ADC threshold get EMPTY
+                # datasets and count toward file rotation
+                # (reference simulator.py:204-205, writer.py:240-255)
+                if raw_counts is None or raw_counts[i] == 0:
+                    continue
+                writer.write_event(EMPTY_SPYRAL, EMPTY_LABELS, start + i)
                 continue
             lo, hi = int(offsets[i]), int(offsets[i + 1])
             writer.write_event(spyral[lo:hi], labels[lo:hi], start + i)

@@ -45,4 +45,10 @@ pipeline = KinematicsPipeline(
 )
 
 if __name__ == "__main__":
-    run_kinematics_pipeline(pipeline, nevents, output_path, seed=1234)
+    # schema="reference" writes the upstream per-event dataset layout, so a
+    # reference attpc_engine install (and its convert-kinematics tooling)
+    # can read this file directly. For TPU-scale runs that only this engine
+    # consumes, schema="columnar" (the faster batched layout) is better.
+    run_kinematics_pipeline(
+        pipeline, nevents, output_path, seed=1234, schema="reference"
+    )

@@ -271,3 +271,62 @@ def test_batched_events_deterministic():
     # (stochastic electron counts differ, but pads hit should overlap a lot)
     c = np.asarray(out1["spyral_counts"])
     assert c[0] > 0 and c[1] > 0
+
+
+def test_simulate_cache_key_is_content_based():
+    """Regression (round-2 VERDICT item 8): the simulate() memo must key on
+    config CONTENT, not id() — a new Config allocated at a recycled address
+    with different physics must not hit a stale cached simulator."""
+    from attpc_engine_tpu.detector.simulator import (
+        _config_fingerprint,
+        _engine_fingerprint,
+    )
+
+    cfg_a = Config(detector, electronics, pads)
+    gas_b = GasTarget([(1, 2, 2)], 600.0, nuclear_map)  # different pressure
+    det_b = DetectorParams(
+        length=1.0,
+        efield=45000.0,
+        bfield=2.85,
+        mpgd_gain=175000,
+        gas_target=gas_b,
+        diffusion=0.277,
+        fano_factor=0.2,
+        w_value=34.0,
+    )
+    cfg_b = Config(det_b, electronics, pads)
+    assert _config_fingerprint(cfg_a) != _config_fingerprint(cfg_b)
+
+    # identical values in distinct objects fingerprint equal (cache reuse
+    # survives reconstruction)
+    cfg_a2 = Config(
+        DetectorParams(
+            length=1.0,
+            efield=45000.0,
+            bfield=2.85,
+            mpgd_gain=175000,
+            gas_target=GasTarget([(1, 2, 2)], 300.0, nuclear_map),
+            diffusion=0.277,
+            fano_factor=0.2,
+            w_value=34.0,
+        ),
+        ElectronicsParams(
+            clock_freq=6.25,
+            amp_gain=900,
+            shaping_time=1000,
+            micromegas_edge=10,
+            windows_edge=560,
+            adc_threshold=40,
+        ),
+        PadParams(),
+    )
+    assert _config_fingerprint(cfg_a) == _config_fingerprint(cfg_a2)
+
+    # in-place mutation is picked up (round-2 ADVICE item 3)
+    cfg_a2.det_params.diffusion = 0.5
+    assert _config_fingerprint(cfg_a) != _config_fingerprint(cfg_a2)
+
+    assert _engine_fingerprint(None) is None
+    assert _engine_fingerprint(fast_engine) == _engine_fingerprint(
+        EngineParams(**fast_engine.__dict__)
+    )

@@ -81,3 +81,58 @@ def test_writer_proc_byte_identical(tmp_path):
                 )
                 for attr in ga[k].attrs:
                     assert ga[k].attrs[attr] == gb[k].attrs[attr], (k, attr)
+
+
+def test_empty_event_datasets_reference_parity(tmp_path):
+    """Events whose points all fail the ADC threshold must get EMPTY
+    cloud_N/labels_N datasets and count toward rotation (reference
+    writer.py:240-255); raw-empty events stay skipped
+    (reference simulator.py:204-205). Both writer paths must agree."""
+    config = Config(
+        DetectorParams(1.0, 45000.0, 2.85, 175000, gas, 0.277, 0.2, 34.0),
+        ElectronicsParams(6.25, 900, 1000, 10, 560, 40),
+        PadParams(),
+    )
+    rng = np.random.default_rng(3)
+    rows = 5
+    pf = np.stack(
+        [rng.uniform(1e4, 1e6, rows), rng.uniform(0, 511, rows)], axis=-1
+    ).astype(np.float32)
+    pi = np.stack(
+        [rng.integers(0, 10240, rows), np.full(rows, 2)], axis=-1
+    ).astype(np.int16)
+    counts = np.array([2, 0, 0, 3])  # kept rows per event
+    raw_counts = np.array([2, 7, 0, 3])  # event 1: all-below-threshold
+    event_numbers = np.arange(4)
+
+    d_pool = tmp_path / "pool"
+    d_proc = tmp_path / "proc"
+    d_pool.mkdir()
+    d_proc.mkdir()
+
+    from attpc_engine_tpu.detector.simulator import DetectorSimulator
+
+    w = SpyralWriter(d_pool, config)
+    sim_tables = DetectorSimulator(
+        config, np.array([1, 1, 1]), np.array([2, 2, 2]), indices=[2],
+        engine=EngineParams(events_per_batch=4),
+    )
+    spyral, labels = sim_tables.assemble_spyral(pf, pi)
+    w.write_spyral_pool(spyral, labels, counts, event_numbers, raw_counts)
+    w.close()
+
+    wp = SpyralWriterProc(d_proc, config)
+    wp.write_packed(pf, pi, counts, event_numbers, raw_counts=raw_counts)
+    wp.close()
+
+    for d in (d_pool, d_proc):
+        with h5py.File(d / "run_0000.h5") as f:
+            g = f["cloud"]
+            # event 1 (threshold-empty): empty datasets present
+            assert g["cloud_1"].shape == (0, 8)
+            assert g["labels_1"].shape == (0,)
+            assert g["cloud_1"].attrs["orig_event"] == 1
+            # event 2 (raw-empty): skipped entirely
+            assert "cloud_2" not in g
+            assert g["cloud_0"].shape == (2, 8)
+            assert g["cloud_3"].shape == (3, 8)
