@@ -14,11 +14,17 @@ single ``jnp.interp`` gather per step.
 
 Physics model (self-contained, no external data libraries):
 
-- Bethe-Bloch mass electronic stopping power with Northcliffe effective
-  projectile charge z_eff = z (1 - exp(-130 beta z^(-2/3))); for protons
-  the standard formula over-suppresses the peak region (protons are ~90%
-  bare at 100 keV), so z = 1 uses the weaker z_eff = 1 - exp(-300 beta)
-  (calibrated against the PSTAR water anchors below),
+- Bethe-Bloch mass electronic stopping power with effective projectile
+  charge: protons use z_eff = 1 - exp(-300 beta) (the Northcliffe form
+  over-suppresses the proton peak region; calibrated against the PSTAR
+  water anchors below), helium uses the Ziegler-Chu effective-charge
+  fraction fit (the ICRU-49 parameterization in ln(E/A [keV/u])), heavier
+  ions use Northcliffe-Barkas z_eff = z (1 - exp(-130 beta z^(-2/3))),
+- Barkas-Berger analytic shell correction C(eta, I) subtracted per
+  constituent (each element's OWN mean excitation energy, even under a
+  compound I override — shell structure is per element), clamped at its
+  eta^2 = 0.02 validity edge with a smooth eta^2/(eta^2 + 3e-4) fade
+  toward low velocity where the term would diverge,
 - mean excitation energies I from an embedded ICRU-37-style element table,
 - below the Bethe curve's own Bragg peak the electronic stopping follows
   the experimentally-shaped Andersen-Ziegler power law S ~ E^0.45 anchored
@@ -29,12 +35,14 @@ Physics model (self-contained, no external data libraries):
 - Bragg additivity over compound constituents.
 
 Measured accuracy against published anchors (see tests/test_nuclear.py):
-protons in water within +-5% of PSTAR at 0.1/0.3/1/10/100 MeV and CSDA
-ranges at 10/100 MeV within 3%; alpha CSDA range in air at 5.49 MeV +13%
-(the z^3 Barkas and shell corrections are not modeled — they matter most
-for z >= 2 around ~1 MeV/u). Custom tables can be loaded for exact CATIMA
-parity (``GasTarget.set_custom_dedx``; ``tools/make_catima_tables.py``
-generates them on any machine with pycatima installed).
+protons in water within +-3.5% of PSTAR at 0.1/0.3/1/10/100 MeV (0.1% at
+10/100 MeV), CSDA ranges at 10/100 MeV within 0.5%; alpha CSDA range in
+air at 5.49 MeV (Am-241) +3.8% of ASTAR; 12C in D2 within 1% of the
+fully-stripped Bethe limit at 10 MeV/u (the flagship bench regime) and 4%
+at 5 MeV/u. Custom tables can still be loaded for exact CATIMA parity
+(``GasTarget.set_custom_dedx``; ``tools/make_catima_tables.py`` generates
+them on any machine with pycatima installed — not available in this
+image, so the in-house model above is the shipped default).
 """
 
 from __future__ import annotations
@@ -67,6 +75,38 @@ def _mean_excitation_ev(z: int) -> float:
     return _I_EV.get(z, 10.0 * z)
 
 
+def _he_gamma2(e_kev_u: np.ndarray) -> np.ndarray:
+    """Ziegler-Chu helium effective-charge fraction squared,
+    (z_eff/2)^2 = 1 - exp(-sum c_i ln(E)^i), E in keV/u (the ICRU-49
+    helium parameterization). Clamped to E >= 1 keV/u (fit domain edge)."""
+    x = np.log(np.clip(e_kev_u, 1.0, None))
+    # Horner form, mirrored exactly in native/stopping.cpp for bit parity
+    s = 0.2865 + x * (
+        0.1266 + x * (-0.001429 + x * (0.02402 + x * (-0.01135 + x * 0.001475)))
+    )
+    return 1.0 - np.exp(-np.clip(s, 0.0, 50.0))
+
+
+def _shell_correction(eta2: np.ndarray, i_ev: float) -> np.ndarray:
+    """Barkas-Berger analytic shell correction C(eta, I), I in eV,
+    eta = beta * gamma.
+
+    The closed form is valid down to eta^2 ~ 0.02 (it diverges negative
+    below); we evaluate it clamped at that edge and fade it out toward low
+    velocity with eta^2 / (eta^2 + 3e-4), which tracks the known rise and
+    fall of C around the sub-MeV/u region without the divergence. The
+    correction enters the Bethe L as -C/Z per constituent."""
+    e2 = np.maximum(eta2, 0.02)
+    c_i2 = (
+        0.422377 / e2 + 0.0304043 / (e2 * e2) - 0.00038106 / (e2 * e2 * e2)
+    ) * 1e-6 * (i_ev * i_ev)
+    c_i3 = (
+        3.850190 / e2 - 0.1667989 / (e2 * e2) + 0.00157955 / (e2 * e2 * e2)
+    ) * 1e-9 * (i_ev * i_ev * i_ev)
+    fade = np.where(eta2 < 0.02, eta2 / (eta2 + 3e-4), 1.0)
+    return (c_i2 + c_i3) * fade
+
+
 def _bethe_mass_stopping(
     z_proj: int,
     mass_mev: float,
@@ -92,21 +132,32 @@ def _bethe_mass_stopping(
     beta2 = 1.0 - 1.0 / gamma**2
     beta2 = np.clip(beta2, 1e-30, None)
     beta = np.sqrt(beta2)
+    eta2 = beta2 * gamma**2
 
-    # Effective projectile charge: Northcliffe for z >= 2; the weaker
-    # proton form keeps the PSTAR peak region (see module docstring)
+    # Effective projectile charge: Ziegler-Chu fraction for helium,
+    # Northcliffe-Barkas for z >= 3; the weaker proton form keeps the
+    # PSTAR peak region (see module docstring)
     if z_proj == 1:
-        z_eff = 1.0 - np.exp(-300.0 * beta)
+        z_eff2 = (1.0 - np.exp(-300.0 * beta)) ** 2
+    elif z_proj == 2:
+        a_u = mass_mev / _MP_U
+        z_eff2 = 4.0 * _he_gamma2(ke * 1e3 / a_u)
     else:
-        z_eff = z_proj * (1.0 - np.exp(-130.0 * beta * z_proj ** (-2.0 / 3.0)))
+        z_eff2 = (
+            z_proj * (1.0 - np.exp(-130.0 * beta * z_proj ** (-2.0 / 3.0)))
+        ) ** 2
 
     s = np.zeros_like(ke)
     for z, a, w in zip(z_t, a_t, w_t):
         i_ev = i_override_ev if i_override_ev else _mean_excitation_ev(int(z))
         i_mev = i_ev * 1e-6
         arg = 2.0 * _ME_C2 * beta2 * gamma**2 / i_mev
-        log_term = np.log(np.clip(arg, 1.0, None)) - beta2
-        s += w * _K * (z / a) * (z_eff**2 / beta2) * np.clip(log_term, 0.0, None)
+        # shell correction uses the ELEMENT's own I even under a compound
+        # override: the override captures phase/binding effects in the
+        # logarithm; shell structure is per element
+        c_shell = _shell_correction(eta2, _mean_excitation_ev(int(z)))
+        log_term = np.log(np.clip(arg, 1.0, None)) - beta2 - c_shell / z
+        s += w * _K * (z / a) * (z_eff2 / beta2) * np.clip(log_term, 0.0, None)
     return s
 
 

@@ -39,6 +39,36 @@ double mean_excitation_ev(int z) {
     return 10.0 * z;
 }
 
+// Ziegler-Chu helium effective-charge fraction squared (ICRU-49 helium
+// parameterization), E in keV/u. Mirrors stopping.py::_he_gamma2 exactly
+// (Horner form) for bit parity with the numpy implementation.
+double he_gamma2(double e_kev_u) {
+    double e = e_kev_u < 1.0 ? 1.0 : e_kev_u;
+    double x = std::log(e);
+    double s = 0.2865 +
+               x * (0.1266 +
+                    x * (-0.001429 +
+                         x * (0.02402 + x * (-0.01135 + x * 0.001475))));
+    if (s < 0.0) s = 0.0;
+    if (s > 50.0) s = 50.0;
+    return 1.0 - std::exp(-s);
+}
+
+// Barkas-Berger analytic shell correction C(eta, I), I in eV; clamped at
+// the eta^2 = 0.02 validity edge with an eta^2/(eta^2 + 3e-4) fade toward
+// low velocity. Mirrors stopping.py::_shell_correction exactly.
+double shell_correction(double eta2, double i_ev) {
+    double e2 = eta2 > 0.02 ? eta2 : 0.02;
+    double c_i2 = (0.422377 / e2 + 0.0304043 / (e2 * e2) -
+                   0.00038106 / (e2 * e2 * e2)) *
+                  1e-6 * (i_ev * i_ev);
+    double c_i3 = (3.850190 / e2 - 0.1667989 / (e2 * e2) +
+                   0.00157955 / (e2 * e2 * e2)) *
+                  1e-9 * (i_ev * i_ev * i_ev);
+    double fade = eta2 < 0.02 ? eta2 / (eta2 + 3e-4) : 1.0;
+    return (c_i2 + c_i3) * fade;
+}
+
 // Bethe-Bloch electronic mass stopping power, MeV cm^2/g, for one energy.
 // i_override > 0: compound mean excitation energy (eV) replacing the
 // per-constituent Bragg-additivity I-values (e.g. liquid water I = 75).
@@ -49,12 +79,19 @@ double bethe(double z_proj, double mass_mev, double ke,
     double beta2 = 1.0 - 1.0 / (gamma * gamma);
     if (beta2 < 1e-30) beta2 = 1e-30;
     double beta = std::sqrt(beta2);
-    double z_eff;
+    double eta2 = beta2 * (gamma * gamma);
+    double z_eff2;
     if (z_proj == 1.0) {
-        z_eff = 1.0 - std::exp(-300.0 * beta);
+        double z_eff = 1.0 - std::exp(-300.0 * beta);
+        z_eff2 = z_eff * z_eff;
+    } else if (z_proj == 2.0) {
+        double a_u = mass_mev / MP_U;
+        z_eff2 = 4.0 * he_gamma2(ke * 1e3 / a_u);
     } else {
-        z_eff = z_proj *
-                (1.0 - std::exp(-130.0 * beta * std::pow(z_proj, -2.0 / 3.0)));
+        double z_eff =
+            z_proj *
+            (1.0 - std::exp(-130.0 * beta * std::pow(z_proj, -2.0 / 3.0)));
+        z_eff2 = z_eff * z_eff;
     }
     double s = 0.0;
     for (int i = 0; i < n_const; ++i) {
@@ -63,9 +100,12 @@ double bethe(double z_proj, double mass_mev, double ke,
         double i_mev = i_ev * 1e-6;
         double arg = 2.0 * ME_C2 * beta2 * gamma * gamma / i_mev;
         if (arg < 1.0) arg = 1.0;
-        double log_term = std::log(arg) - beta2;
+        // shell correction uses the element's OWN I even under a compound
+        // override (see stopping.py)
+        double c_shell = shell_correction(eta2, mean_excitation_ev((int)z_t[i]));
+        double log_term = std::log(arg) - beta2 - c_shell / z_t[i];
         if (log_term < 0.0) log_term = 0.0;
-        s += w_t[i] * K_BETHE * (z_t[i] / a_t[i]) * (z_eff * z_eff / beta2) *
+        s += w_t[i] * K_BETHE * (z_t[i] / a_t[i]) * (z_eff2 / beta2) *
              log_term;
     }
     return s;

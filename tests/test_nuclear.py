@@ -115,7 +115,11 @@ def test_stopping_golden_pstar_water():
     kes = np.array(sorted(anchors))
     got = mass_stopping_power(1, 938.272, kes, water, i_override_ev=75.0)
     for e, g in zip(sorted(anchors), got):
-        assert g == pytest.approx(anchors[e], rel=0.06), f"{e} MeV"
+        # round-3 model (shell correction + Ziegler-Chu): worst +3.4% at
+        # 0.3 MeV, 0.1% at 10/100 MeV
+        assert g == pytest.approx(anchors[e], rel=0.04), f"{e} MeV"
+    assert got[3] == pytest.approx(anchors[10.0], rel=0.005)
+    assert got[4] == pytest.approx(anchors[100.0], rel=0.005)
 
     # CSDA ranges (PSTAR): 10 MeV -> 0.1230 g/cm^2, 100 MeV -> 7.718 g/cm^2
     log_ke = np.log(np.geomspace(1e-6, 200.0, 4096))
@@ -123,15 +127,15 @@ def test_stopping_golden_pstar_water():
     _, rng = build_range_table(log_ke, dedx)
     r10 = np.interp(np.log(10.0), log_ke, rng)
     r100 = np.interp(np.log(100.0), log_ke, rng)
-    assert r10 == pytest.approx(0.1230, rel=0.05)
-    assert r100 == pytest.approx(7.718, rel=0.03)
+    assert r10 == pytest.approx(0.1230, rel=0.02)
+    assert r100 == pytest.approx(7.718, rel=0.01)
 
 
 def test_stopping_golden_astar_alpha_air():
     """Alpha CSDA range in air at 5.49 MeV (Am-241) vs the ASTAR value
-    (~4.0 cm at NTP, ~4.85 mg/cm^2). The model omits the z^3 Barkas and
-    shell corrections (largest for z >= 2 near ~1 MeV/u), giving a known
-    +13% range bias — the assertion bounds it so regressions are caught."""
+    (~4.0 cm at NTP, ~4.85 mg/cm^2). With the Ziegler-Chu helium effective
+    charge + Barkas-Berger shell correction the model lands +3.8% of ASTAR
+    (was +13% in round 2 without them); the band bounds regressions."""
     from attpc_engine_tpu.nuclear.stopping import (
         build_range_table,
         mass_stopping_power,
@@ -142,7 +146,44 @@ def test_stopping_golden_astar_alpha_air():
     dedx = mass_stopping_power(2, 3727.379, np.exp(log_ke), air)
     _, rng = build_range_table(log_ke, dedx)
     r = np.interp(np.log(5.49), log_ke, rng)
-    assert 4.85e-3 * 0.95 < r < 4.85e-3 * 1.20
+    assert 4.85e-3 * 0.95 < r < 4.85e-3 * 1.05
+
+
+def test_stopping_carbon_flagship_regime():
+    """Anchors for the flagship bench species: 12C in D2 gas.
+
+    There is no NIST table for carbon ions, so the anchors are the physics
+    limits the model must obey where they are exact:
+
+    1. at 10 MeV/u (the 12C(d,p) bench beam energy) carbon is fully
+       stripped and shell/Barkas terms are sub-percent in hydrogen, so the
+       table must match an INDEPENDENTLY-written textbook Bethe evaluation
+       to ~2% (the residual is the modeled 0.7% effective-charge deficit),
+    2. same at 5 MeV/u to ~5% (effective charge ~0.98),
+    3. at equal velocity and high energy, carbon/helium stopping must scale
+       as the effective-charge-squared ratio (-> 36/4 stripped); this pins
+       the z-scaling machinery that has no external table to lean on.
+    """
+    from attpc_engine_tpu.nuclear.stopping import mass_stopping_power
+
+    d2 = [(1, 2, 1.0)]
+    m12c = 11174.86  # MeV
+    for e_u, tol in ((10.0, 0.02), (5.0, 0.05)):
+        ke = e_u * 12.0
+        gamma = 1.0 + ke / m12c
+        beta2 = 1.0 - 1.0 / gamma**2
+        # textbook Bethe, fully stripped z = 6, I(H) = 19.2 eV
+        log_term = np.log(2.0 * 0.51099895e6 * beta2 * gamma**2 / 19.2) - beta2
+        s_bethe = 0.307075 * (1.0 / 2.0) * (36.0 / beta2) * log_term
+        s_model = mass_stopping_power(6, m12c, np.array([ke]), d2)[0]
+        assert s_model == pytest.approx(s_bethe, rel=tol), f"{e_u} MeV/u"
+        assert s_model < s_bethe  # partial stripping + shells only REDUCE
+
+    # z-scaling: C vs He at the same velocity (10 MeV/u), same target
+    s_c = mass_stopping_power(6, m12c, np.array([120.0]), d2)[0]
+    s_he = mass_stopping_power(2, 3727.379, np.array([40.0]), d2)[0]
+    ratio = s_c / s_he
+    assert 8.6 < ratio < 9.05  # stripped limit 9, slight C deficit at 10 MeV/u
 
 
 def test_stopping_low_energy_positive_and_continuous():
