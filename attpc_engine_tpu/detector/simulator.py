@@ -95,11 +95,15 @@ class EngineParams:
         (device->host transfers scale with this).
     events_per_batch: int
         Events per XLA program execution.
-    pallas_transport: bool
+    pallas_transport: bool | str
         Use the fused Pallas RK4 kernel (transport_pallas.py) instead of
-        the lax.scan integrator whenever the step window fits one chunk
-        (measured 24% faster device-side; experimental, physics validated
-        bit-close on TPU).
+        the lax.scan integrator (measured 24% faster device-side, physics
+        validated bit-close on TPU; multi-chunk windows run the chunked
+        wrapper with the same early-exit semantics). ``"auto"`` (default)
+        enables it on a single-chip TPU backend and keeps the scan
+        elsewhere (the CPU fallback is the slow Pallas interpreter, and
+        pallas_call does not partition under a >1-device mesh); ``True``
+        forces it everywhere, ``False`` never uses it.
     """
 
     n_time_steps: int = 10000
@@ -110,7 +114,7 @@ class EngineParams:
     cloud_cap: int = 12288
     out_budget: int = 8192
     events_per_batch: int = 256
-    pallas_transport: bool = False
+    pallas_transport: bool | str = "auto"
 
 
 class DetectorSimulator:
@@ -238,9 +242,14 @@ class DetectorSimulator:
         gv0 = gvs.reshape(b, 3)
         s_idx = jnp.tile(jnp.arange(k, dtype=jnp.int32), e)
 
-        if eng.pallas_transport and n_steps <= eng.chunk_steps:
-            # fused Pallas kernel: no early-exit chunking, so only for
-            # already-tuned (single-chunk) windows
+        pt = eng.pallas_transport
+        use_pallas = pt is True or (
+            pt == "auto"
+            and jax.default_backend() == "tpu"
+            and (self.mesh is None or self.mesh.size == 1)
+        )
+        if use_pallas and n_steps <= eng.chunk_steps:
+            # single window fits one kernel launch
             from .transport_pallas import integrate_tracks_pallas
 
             positions, dke, alive = integrate_tracks_pallas(
@@ -253,6 +262,22 @@ class DetectorSimulator:
                 efield=float(cfg.det_params.efield),
                 dt=float(eng.dt),
                 n_steps=n_steps,
+            )
+        elif use_pallas:
+            # chunked wrapper: same kernel per chunk, early exit outside
+            from .transport_pallas import integrate_tracks_pallas_chunked
+
+            positions, dke, alive = integrate_tracks_pallas_chunked(
+                pos0,
+                gv0,
+                s_idx,
+                self.species,
+                density=float(cfg.det_params.gas_target.density),
+                bfield=float(cfg.det_params.bfield),
+                efield=float(cfg.det_params.efield),
+                dt=float(eng.dt),
+                n_steps=n_steps,
+                chunk_steps=min(eng.chunk_steps, n_steps),
             )
         else:
             positions, dke, alive = integrate_tracks(
@@ -299,7 +324,7 @@ class DetectorSimulator:
         packed_f32, packed_i16, counts, out_overflow = self._convert_to_spyral(
             cloud, out_budget, e, window
         )
-        cloud["packed_f32"] = packed_f32  # [E*out_budget, 3] amp, integral, tb
+        cloud["packed_f32"] = packed_f32  # [E*out_budget, 2] charge, tb
         cloud["packed_i16"] = packed_i16  # [E*out_budget, 2] pad, label
         cloud["spyral_counts"] = counts
         cloud["spyral_overflow"] = out_overflow
@@ -461,8 +486,9 @@ class DetectorSimulator:
 
         Returns
         -------
-        dict with device arrays: ``packed_f32`` [E*out_budget, 3]
-        (amp, integral, tb) and ``packed_i16`` [E*out_budget, 2]
+        dict with device arrays: ``packed_f32`` [E*out_budget, 2]
+        (gained charge, tb — amp/integral are recomputed on the host in
+        f64 from the charge) and ``packed_i16`` [E*out_budget, 2]
         (pad, label) — the z-sorted, ADC-thresholded rows of all events
         pooled in event order (slice event i as rows
         [cumsum(counts)[i-1] : cumsum(counts)[i]]); ``spyral_counts`` [E];

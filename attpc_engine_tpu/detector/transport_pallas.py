@@ -20,8 +20,12 @@ TPU layout notes (learned the hard way):
   dimension of 3 would be lane-padded 3 -> 128, inflating the output
   window 42x past VMEM.
 
-Opt-in/experimental: validated bit-close against the scan implementation
-(tests/test_transport_pallas.py runs it in interpret mode on CPU).
+``integrate_tracks_pallas`` runs one single-chunk window;
+``integrate_tracks_pallas_chunked`` wraps the same kernel in an outer
+while-over-chunks loop with the scan implementation's early exit, so it is
+a full drop-in for any (n_steps, chunk_steps) window. Validated bit-close
+against the scan implementation (tests/test_transport_pallas.py runs both
+in interpret mode on CPU).
 """
 
 from __future__ import annotations
@@ -35,12 +39,13 @@ from jax.experimental import pallas as pl
 from ..constants import C, E_CHARGE, MEV_2_JOULE, MEV_2_KG
 from .transport import _Z_FORWARD_BOUND, _RHO_BOUND, DT, KE_LIMIT, TrackSpecies
 
-__all__ = ["integrate_tracks_pallas"]
+__all__ = ["integrate_tracks_pallas", "integrate_tracks_pallas_chunked"]
 
 
 def _kernel(
     pos_ref,  # [3, B]
     gv_ref,  # [3, B]
+    alive_ref,  # [B] int32 — lanes alive at window start
     onehot_ref,  # [B, S*N]: 1.0 at each lane's table-block start
     dedx_flat_ref,  # [S*N]
     mass_ref,  # [B]
@@ -48,6 +53,9 @@ def _kernel(
     out_pos_ref,  # [T, 3, B]
     out_dke_ref,  # [T, B]
     out_alive_ref,  # [T, B] int32
+    fin_pos_ref,  # [3, B] — state at window end (chunk carry)
+    fin_gv_ref,  # [3, B]
+    fin_alive_ref,  # [B] int32
     *,
     n_steps: int,
     dt: float,
@@ -70,7 +78,6 @@ def _kernel(
     ke_lim_c = f32(KE_LIMIT)
     zb_c = f32(_Z_FORWARD_BOUND)
     rho2_c = f32(_RHO_BOUND * _RHO_BOUND)
-    rho_c = f32(_RHO_BOUND)
     tiny_c = f32(1e-30)
 
     pos = pos_ref[:]
@@ -123,14 +130,11 @@ def _kernel(
         gv2 = jnp.sum(gv * gv, axis=0)
         return mass * gv2 / (f32(1.0) + jnp.sqrt(f32(1.0) + gv2))
 
+    # alive at window start comes from the caller (chunk carry; the first
+    # chunk's inclusive-bounds mask is computed host-side in JAX), so dead
+    # lanes never resurrect across chunk boundaries
     ke0 = kinetic(gv)
-    rho0 = jnp.sqrt(pos[0] ** 2 + pos[1] ** 2)
-    alive0 = (
-        (ke0 > ke_lim_c)
-        & (pos[2] >= f32(0.0))
-        & (pos[2] <= zb_c)
-        & (rho0 < rho_c)
-    ).astype(jnp.int32)
+    alive0 = alive_ref[:]
 
     def body(step, carry):
         pos, gv, ke_prev, alive = carry
@@ -158,7 +162,12 @@ def _kernel(
         out_alive_ref[step] = alive_n
         return pos_n, gv_n, ke_n, alive_n
 
-    jax.lax.fori_loop(0, n_steps, body, (pos, gv, ke0, alive0))
+    pos_f, gv_f, _, alive_f = jax.lax.fori_loop(
+        0, n_steps, body, (pos, gv, ke0, alive0)
+    )
+    fin_pos_ref[:] = pos_f
+    fin_gv_ref[:] = gv_f
+    fin_alive_ref[:] = alive_f
 
 
 @partial(
@@ -218,17 +227,143 @@ def integrate_tracks_pallas(
         jax.ShapeDtypeStruct((n_steps, 3, b), f32),
         jax.ShapeDtypeStruct((n_steps, b), f32),
         jax.ShapeDtypeStruct((n_steps, b), jnp.int32),
+        jax.ShapeDtypeStruct((3, b), f32),
+        jax.ShapeDtypeStruct((3, b), f32),
+        jax.ShapeDtypeStruct((b,), jnp.int32),
     )
-    positions_axf, dke, alive_i = pl.pallas_call(
+
+    pos0 = init_pos.astype(f32).T
+    gv0 = init_gv.astype(f32).T
+    alive0 = _initial_alive(pos0, gv0, mass)
+
+    positions_axf, dke, alive_i, *_ = pl.pallas_call(
         kern,
         out_shape=out_shapes,
         interpret=interpret,
-    )(
-        init_pos.astype(f32).T,
-        init_gv.astype(f32).T,
-        onehot,
-        dedx_flat,
-        mass,
-        q_m,
-    )
+    )(pos0, gv0, alive0, onehot, dedx_flat, mass, q_m)
     return positions_axf.transpose(0, 2, 1), dke, alive_i != 0
+
+
+def _initial_alive(pos0, gv0, mass):
+    """Inclusive-at-t0 bounds mask (transport.py: scipy terminal events
+    only fire on sign changes after the start)."""
+    f32 = jnp.float32
+    gv2 = jnp.sum(gv0 * gv0, axis=0)
+    ke0 = mass * gv2 / (f32(1.0) + jnp.sqrt(f32(1.0) + gv2))
+    rho0 = jnp.sqrt(pos0[0] ** 2 + pos0[1] ** 2)
+    return (
+        (ke0 > f32(KE_LIMIT))
+        & (pos0[2] >= f32(0.0))
+        & (pos0[2] <= f32(_Z_FORWARD_BOUND))
+        & (rho0 < f32(_RHO_BOUND))
+    ).astype(jnp.int32)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_steps",
+        "chunk_steps",
+        "interpret",
+        "density",
+        "bfield",
+        "efield",
+        "dt",
+    ),
+)
+def integrate_tracks_pallas_chunked(
+    init_pos: jax.Array,
+    init_gv: jax.Array,
+    s_idx: jax.Array,
+    species: TrackSpecies,
+    density: float,
+    bfield: float,
+    efield: float,
+    dt: float = DT,
+    n_steps: int = 10000,
+    chunk_steps: int = 500,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Chunked drop-in for transport.integrate_tracks over arbitrary
+    windows: an outer ``lax.while_loop`` re-enters the SAME compiled
+    Pallas kernel per ``chunk_steps`` window, carrying (pos, gv, alive)
+    across chunks, and exits early once every lane is dead — exactly the
+    early-exit semantics of the scan implementation, with the kernel's
+    zero per-step dispatch cost inside each chunk.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if n_steps % chunk_steps != 0:
+        raise ValueError("n_steps must be divisible by chunk_steps")
+    n_chunks = n_steps // chunk_steps
+    b = init_pos.shape[0]
+    f32 = jnp.float32
+    s, n_tab = species.dedx.shape
+
+    mass = species.mass[s_idx].astype(f32)
+    q_m = (species.charge[s_idx] * E_CHARGE / (mass * MEV_2_KG)).astype(f32)
+    onehot = (
+        s_idx[:, None] * n_tab == jnp.arange(s * n_tab, dtype=jnp.int32)[None, :]
+    ).astype(f32)
+    dedx_flat = species.dedx.reshape(-1).astype(f32)
+
+    kern = partial(
+        _kernel,
+        n_steps=chunk_steps,
+        dt=float(dt),
+        log_ke_lo=float(species.log_ke_lo),
+        dlog_ke=float(species.dlog_ke),
+        n_tab=n_tab,
+        density=float(density),
+        bfield=float(bfield),
+        efield=float(efield),
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((chunk_steps, 3, b), f32),
+        jax.ShapeDtypeStruct((chunk_steps, b), f32),
+        jax.ShapeDtypeStruct((chunk_steps, b), jnp.int32),
+        jax.ShapeDtypeStruct((3, b), f32),
+        jax.ShapeDtypeStruct((3, b), f32),
+        jax.ShapeDtypeStruct((b,), jnp.int32),
+    )
+    call = pl.pallas_call(kern, out_shape=out_shapes, interpret=interpret)
+
+    pos0 = init_pos.astype(f32).T
+    gv0 = init_gv.astype(f32).T
+    alive0 = _initial_alive(pos0, gv0, mass)
+
+    positions = jnp.zeros((n_steps, b, 3), dtype=f32)
+    dkes = jnp.zeros((n_steps, b), dtype=f32)
+    alives = jnp.zeros((n_steps, b), dtype=jnp.int32)
+
+    def chunk_body(state):
+        chunk_i, pos, gv, alive, positions, dkes, alives = state
+        p_c, d_c, a_c, pos_n, gv_n, alive_n = call(
+            pos, gv, alive, onehot, dedx_flat, mass, q_m
+        )
+        offset = chunk_i * chunk_steps
+        zero = jnp.asarray(0, dtype=offset.dtype)
+        positions = jax.lax.dynamic_update_slice(
+            positions, p_c.transpose(0, 2, 1), (offset, zero, zero)
+        )
+        dkes = jax.lax.dynamic_update_slice(dkes, d_c, (offset, zero))
+        alives = jax.lax.dynamic_update_slice(alives, a_c, (offset, zero))
+        return chunk_i + 1, pos_n, gv_n, alive_n, positions, dkes, alives
+
+    def chunk_cond(state):
+        chunk_i, _pos, _gv, alive, *_ = state
+        return (chunk_i < n_chunks) & jnp.any(alive != 0)
+
+    init_state = (
+        jnp.asarray(0, dtype=jnp.int32),
+        pos0,
+        gv0,
+        alive0,
+        positions,
+        dkes,
+        alives,
+    )
+    _, _, _, _, positions, dkes, alives = jax.lax.while_loop(
+        chunk_cond, chunk_body, init_state
+    )
+    return positions, dkes, alives != 0

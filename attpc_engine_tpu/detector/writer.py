@@ -299,7 +299,6 @@ class SpyralWriterProc:
         # a parent crash must not leak owned /dev/shm segments: unlink any
         # still-outstanding ones at interpreter exit (round-2 ADVICE item 5)
         import atexit
-        import weakref
 
         outstanding = self._outstanding
 

@@ -100,9 +100,12 @@ def main() -> None:
         120.0,
     )
     # default engine params; run_simulation auto-tunes the pool budgets to
-    # the observed multiplicities after the first batch
-    pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
-    engine = EngineParams(events_per_batch=det_batch, pallas_transport=pallas)
+    # the observed multiplicities after the first batch. pallas_transport
+    # defaults to "auto" (Pallas RK4 on single-chip TPU); BENCH_PALLAS=0
+    # forces the lax.scan integrator for A/B comparison.
+    engine = EngineParams(events_per_batch=det_batch)
+    if os.environ.get("BENCH_PALLAS") == "0":
+        engine.pallas_transport = False
 
     tmp_ctx = None
     if outdir is None:

@@ -66,3 +66,43 @@ def test_run_simulation_with_pallas_transport(tmp_path):
     with h5py.File(d / "run_0000.h5") as f:
         names = [k for k in f["cloud"].keys() if k.startswith("cloud_")]
         assert len(names) >= 3
+
+
+def test_pallas_chunked_matches_scan_interpret():
+    """The chunked wrapper (multi-chunk window + early exit) matches the
+    scan integrator over a window several chunks long."""
+    from attpc_engine_tpu.detector.transport_pallas import (
+        integrate_tracks_pallas_chunked,
+    )
+
+    pipeline, sim = _tiny_setup(events_per_batch=4, n_time_steps=300)
+    cfg = sim.config
+    vertices, momenta = pipeline.run_batch(4, key=jax.random.PRNGKey(3))
+    p3 = momenta[:, sim.sim_indices, :3]
+    gvs = jnp.asarray(
+        (p3 / sim.track_masses[None, :, None]).astype(np.float32)
+    ).reshape(-1, 3)
+    pos0 = jnp.repeat(
+        jnp.asarray(vertices, dtype=jnp.float32), sim.k_tracks, axis=0
+    )
+    s_idx = jnp.tile(jnp.arange(sim.k_tracks, dtype=jnp.int32), 4)
+    kw = dict(
+        density=cfg.det_params.gas_target.density,
+        bfield=cfg.det_params.bfield,
+        efield=cfg.det_params.efield,
+        n_steps=300,
+    )
+    p1, d1, a1 = integrate_tracks(
+        pos0, gvs, s_idx, sim.species, chunk_steps=100, **kw
+    )
+    p2, d2, a2 = integrate_tracks_pallas_chunked(
+        pos0, gvs, s_idx, sim.species, chunk_steps=100, interpret=True, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    # compare only live deposit points: the scan freezes dead lanes at the
+    # stopping position while outputs past death are never consumed
+    live = np.asarray(a1)
+    dp = np.abs(np.asarray(p1) - np.asarray(p2))[live]
+    assert dp.max() < 1e-6 if dp.size else True
+    dd = np.abs(np.asarray(d1) - np.asarray(d2))[live]
+    assert dd.max() < 1e-4 if dd.size else True
