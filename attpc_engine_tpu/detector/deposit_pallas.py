@@ -1,0 +1,162 @@
+"""Pallas pad-lookup kernel: the deposit gather end-run.
+
+The deposit step's hottest op is the pad-table lookup: 100 mesh pixels per
+deposit point -> 22M random gathers per batch, and XLA's elementwise
+gather is issue-rate bound at ~8.6 ns/lookup (invariant to table size and
+element width — BASELINE.md), ~185 ms at bench shapes. An XLA multi-pixel
+patch gather (lax.gather with multi-element slice_sizes) is not viable
+either: compile time explodes (>10 min for one [221k, 24, 32] slice
+gather, measured).
+
+This kernel exploits the mesh's OUTER-PRODUCT structure instead: the
+10x10 pixel block of one point is {x_i} x {y_j} with only 10 distinct
+x cells and 10 distinct y cells, so
+
+  pad[p, i, j] = T[ix[p, i], iy[p, j]]
+
+factors into (1) fetching the 10 table ROWS T[ix[p, i], :] per point —
+done for a whole block of points as ONE one-hot MXU matmul — and (2)
+selecting 10 columns from each fetched row — done as 10 vectorized
+VPU compare-multiply-reduce passes. No per-element gather anywhere.
+
+Exactness: the table is split into two <= 8-bit planes (v >> 7, v & 127),
+both exactly representable in bfloat16, and the one-hot operand is 0/1
+(exact in any precision), so two default-precision bf16 matmuls with f32
+accumulation reproduce the integer table values EXACTLY (each product is
+an exact bf16 multiply, and every row sums one nonzero term). The planes
+are recombined in f32 before column selection (values <= 10240 << 2^24).
+
+Table layout: [560 (x, sublanes), 640 (y, lanes)] — x rows are contracted
+by the one-hot matmul, y columns selected by the VPU pass. Entries hold
+the PAD ID (0..10239) with holes/beam pads/padding folded to the sentinel
+10240 (PAD_ID_SENTINEL); the (pad * 512 + tb) merge key is formed by the
+caller in XLA.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+__all__ = ["pad_lookup_pallas", "PAD_ID_SENTINEL", "build_plane_tables"]
+
+PAD_ID_SENTINEL = np.int32(10240)
+_PB = 64  # points per grid block (PB=128 hits the 16 MB scoped-VMEM limit: 20.3 MB measured)
+_NX = 560  # table rows (x cells, >= n_mm = 559)
+_NY = 640  # table cols (y cells, lane-padded)
+
+
+def build_plane_tables(grid_mm: np.ndarray, beam_mask: np.ndarray):
+    """[n_mm, n_mm] pad-id grid (-1 holes) -> two [560, 640] f32 planes.
+
+    grid_mm is indexed [x_cell, y_cell] (1-mm floor quirk resolution, see
+    Config.device_arrays). Vetoed cells (holes, beam pads) and padding get
+    PAD_ID_SENTINEL. Returns (hi, lo) with value = hi * 128 + lo.
+    """
+    n_mm = grid_mm.shape[0]
+    if n_mm > _NX:
+        raise ValueError(f"pad grid too large for the lookup kernel: {n_mm}")
+    vetoed = (grid_mm < 0) | beam_mask[np.clip(grid_mm, 0, None)]
+    ids = np.where(vetoed, int(PAD_ID_SENTINEL), grid_mm).astype(np.int32)
+    full = np.full((_NX, _NY), int(PAD_ID_SENTINEL), dtype=np.int32)
+    full[:n_mm, :n_mm] = ids
+    hi = (full >> 7).astype(np.float32)
+    lo = (full & 127).astype(np.float32)
+    return hi, lo
+
+
+def _lookup_kernel(ixf_ref, ymat_ref, thi_ref, tlo_ref, out_ref):
+    """One block of _PB points.
+
+    ixf_ref: [_PB*10, 1] i32 — x cell of pixel column i, row r = p*10 + i,
+        clipped to [0, _NX).
+    ymat_ref: [_PB*10, 10] i32 — y cells replicated per row: ymat[r, j] =
+        iy[p, j], clipped to [0, _NY).
+    thi/tlo_ref: [_NX, _NY] bf16 planes.
+    out_ref: [_PB*10, 10] f32 — out[p*10 + i, j] = pad id at (ix_i, iy_j).
+    """
+    f32 = jnp.float32
+    r = ixf_ref.shape[0]
+    ixf = ixf_ref[:]  # [R, 1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (r, _NX), 1)
+    ohx = (rows == ixf).astype(jnp.bfloat16)  # [R, _NX], exact 0/1
+
+    dims = (((1,), (0,)), ((), ()))
+    r_hi = jax.lax.dot_general(
+        ohx, thi_ref[:], dims, preferred_element_type=f32
+    )
+    r_lo = jax.lax.dot_general(
+        ohx, tlo_ref[:], dims, preferred_element_type=f32
+    )
+    rowvals = r_hi * f32(128.0) + r_lo  # [R, _NY] f32, exact integers
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (r, _NY), 1)
+    ymat = ymat_ref[:]  # [R, 10]
+    outs = []
+    for j in range(10):
+        sel = (cols == ymat[:, j][:, None]).astype(f32)
+        outs.append(jnp.sum(rowvals * sel, axis=1))
+    out_ref[:] = jnp.stack(outs, axis=1)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def pad_lookup_pallas(
+    ix: jax.Array,
+    iy: jax.Array,
+    plane_hi: jax.Array,
+    plane_lo: jax.Array,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Batched mesh pad lookup.
+
+    ix, iy: [P, 10] int32 mm-cell indices (will be clipped; out-of-plane
+        pixels must be masked by the CALLER — clipping aliases them onto
+        edge cells).
+    plane_hi, plane_lo: [560, 640] f32 planes from build_plane_tables
+        (converted to bf16 here; pass numpy constants so they embed).
+
+    Returns [P, 10, 10] int32: pad id at (ix[p, i], iy[p, j]), with
+    PAD_ID_SENTINEL for vetoed/hole cells.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    p = ix.shape[0]
+    nb = -(-p // _PB)
+    p_pad = nb * _PB
+    ixc = jnp.clip(ix, 0, _NX - 1).astype(jnp.int32)
+    iyc = jnp.clip(iy, 0, _NY - 1).astype(jnp.int32)
+    if p_pad != p:
+        ixc = jnp.pad(ixc, ((0, p_pad - p), (0, 0)))
+        iyc = jnp.pad(iyc, ((0, p_pad - p), (0, 0)))
+
+    # row r = p*10 + i carries x cell i; y cells replicate over i
+    ixf = ixc.reshape(p_pad * 10, 1)
+    ymat = jnp.broadcast_to(
+        iyc[:, None, :], (p_pad, 10, 10)
+    ).reshape(p_pad * 10, 10)
+
+    thi = plane_hi.astype(jnp.bfloat16)
+    tlo = plane_lo.astype(jnp.bfloat16)
+
+    # NOTE: index-map constants must be pinned to int32 — x64 is enabled
+    # globally, a bare Python 0 becomes i64 and Mosaic fails to legalize
+    # the index map's func.return (measured on real TPU).
+    zero = np.int32(0)
+    out = pl.pallas_call(
+        _lookup_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((_PB * 10, 1), lambda b: (b, zero)),
+            pl.BlockSpec((_PB * 10, 10), lambda b: (b, zero)),
+            pl.BlockSpec((_NX, _NY), lambda b: (zero, zero)),
+            pl.BlockSpec((_NX, _NY), lambda b: (zero, zero)),
+        ],
+        out_specs=pl.BlockSpec((_PB * 10, 10), lambda b: (b, zero)),
+        out_shape=jax.ShapeDtypeStruct((p_pad * 10, 10), jnp.float32),
+        interpret=interpret,
+    )(ixf, ymat, thi, tlo)
+    return out.reshape(p_pad, 10, 10).astype(jnp.int32)[:p]

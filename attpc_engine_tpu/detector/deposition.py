@@ -184,7 +184,8 @@ def _merge_runs(packed: jax.Array, qv: jax.Array, cap: int, rank_bits: int):
 @partial(
     jax.jit,
     static_argnames=(
-        "n_events", "tracks_per_event", "point_budget", "uniq_budget"
+        "n_events", "tracks_per_event", "point_budget", "uniq_budget",
+        "pallas_lookup",
     ),
 )
 def deposit_and_merge(
@@ -206,6 +207,9 @@ def deposit_and_merge(
     tracks_per_event: int,
     point_budget: int = 1024,
     uniq_budget: int = 12288,
+    pallas_lookup: bool = False,
+    plane_hi=None,
+    plane_lo=None,
 ):
     """Transport deposits to the pad plane and merge to unique (pad, tb).
 
@@ -228,6 +232,9 @@ def deposit_and_merge(
         ``pool_overflow``.
     uniq_budget: unique-(pad, tb) slots kept per event. Overflow (the
         highest-key entries) is dropped and counted in ``uniq_overflow``.
+    pallas_lookup: use the Pallas pad-lookup kernel (deposit_pallas.py)
+        instead of the elementwise table gather (TPU hot path; requires
+        plane_hi/plane_lo from Config.device_arrays).
 
     Returns
     -------
@@ -306,38 +313,66 @@ def deposit_and_merge(
     has_diff = sigma > 0.0
     sigma_safe = jnp.where(has_diff, sigma, 1.0)
 
-    # 10x10 mesh offsets in units of sigma: -3s .. +3s inclusive
+    # 10x10 mesh offsets in units of sigma: -3s .. +3s inclusive. The
+    # pixel block of one point is the OUTER PRODUCT {x_i} x {y_j}: only 10
+    # distinct x and 10 distinct y coordinates per point (exploited by the
+    # Pallas lookup below).
     mesh_1d = jnp.linspace(-3.0, 3.0, MESH_STEPS, dtype=f32)
-    off_x = mesh_1d[:, None]  # [10, 1]
-    off_y = mesh_1d[None, :]  # [1, 10]
     step = 6.0 / (MESH_STEPS - 1)  # in sigma units
 
-    # pixel positions [P, 10, 10]
-    pix_x = px[:, None, None] + sigma_safe[:, None, None] * off_x
-    pix_y = py[:, None, None] + sigma_safe[:, None, None] * off_y
+    # separable pixel coordinates [P, 10]
+    x10 = px[:, None] + sigma_safe[:, None] * mesh_1d[None, :]
+    y10 = py[:, None] + sigma_safe[:, None] * mesh_1d[None, :]
+    # sigma == 0 (diffusion disabled) -> point transport: all electrons on
+    # the point itself through pixel slot (0, 0) (transporter.py:124-169)
+    x10 = jnp.where(has_diff[:, None], x10, px[:, None])
+    y10 = jnp.where(has_diff[:, None], y10, py[:, None])
+
     # bivariate normal pdf * pixel area (sigma^2 cancels against the area)
+    off_x = mesh_1d[:, None]  # [10, 1]
+    off_y = mesh_1d[None, :]  # [1, 10]
     pdf_area = (step * step / (2.0 * jnp.pi)) * jnp.exp(
         -0.5 * (off_x**2 + off_y**2)
     )  # [10, 10], sigma-independent
     q_pix = pne[:, None, None] * pdf_area
-    # sigma == 0 (diffusion disabled) -> point transport: all electrons on
-    # the point itself through pixel slot (0, 0) (transporter.py:124-169)
     q_point = jnp.zeros((MESH_STEPS, MESH_STEPS), dtype=f32).at[0, 0].set(1.0)
     q_pix = jnp.where(has_diff[:, None, None], q_pix, pne[:, None, None] * q_point)
-    pix_x = jnp.where(has_diff[:, None, None], pix_x, px[:, None, None])
-    pix_y = jnp.where(has_diff[:, None, None], pix_y, py[:, None, None])
 
-    # one single-pass gather: pad*NUM_TB or sentinel, veto pre-folded.
-    # This gather is the hottest op of the whole detector step (~190 ms for
-    # 22M lookups at bench shapes) and is ISSUE-RATE bound: measured
-    # invariant to table size (16 KB vs 1.25 MB) and element width
-    # (i8/i16/i32), so only fewer lookups would help. A two-stage merge
-    # that deduplicated (mm cell, tb) before gathering was implemented and
-    # reverted: real tracks touch ~37k unique (cell, tb) per event vs 58k
-    # pixel lanes — the extra merge pass cost more than the 15% gather cut
-    # (tools/ablate_deposit.py; BASELINE.md).
-    pkey = _key_lookup(key_grid_flat, grid_lo_mm, grid_n_mm, pix_x, pix_y)
-    pix_valid = (pkey != KEY_SENTINEL) & taken[:, None, None]
+    if pallas_lookup and plane_hi is not None:
+        # Pallas kernel: one-hot MXU row fetch + vectorized column select
+        # (deposit_pallas.py) — replaces the issue-rate-bound 22M-element
+        # gather (~185 ms at bench shapes) with ~10x fewer effective
+        # lookups; exact by construction, verified against the gather path
+        # in tests/test_deposit_pallas.py.
+        from .deposit_pallas import pad_lookup_pallas
+
+        ix = jnp.floor(x10 * 1000.0 - grid_lo_mm).astype(jnp.int32)
+        iy = jnp.floor(y10 * 1000.0 - grid_lo_mm).astype(jnp.int32)
+        inb_x = (ix >= 0) & (ix < grid_n_mm)
+        inb_y = (iy >= 0) & (iy < grid_n_mm)
+        pads = pad_lookup_pallas(ix, iy, plane_hi, plane_lo)  # [P, 10, 10]
+        pkey = pads * NUM_TB
+        pix_valid = (
+            inb_x[:, :, None]
+            & inb_y[:, None, :]
+            & (pads < 10240)
+            & taken[:, None, None]
+        )
+    else:
+        # one single-pass gather: pad*NUM_TB or sentinel, veto pre-folded.
+        # This gather is the hottest op of the whole detector step (~190 ms
+        # for 22M lookups at bench shapes) and is ISSUE-RATE bound:
+        # measured invariant to table size (16 KB vs 1.25 MB) and element
+        # width (i8/i16/i32), so only fewer lookups help. A two-stage merge
+        # that deduplicated (mm cell, tb) before gathering was implemented
+        # and reverted: real tracks touch ~37k unique (cell, tb) per event
+        # vs 58k pixel lanes — the extra merge pass cost more than the 15%
+        # gather cut (tools/ablate_deposit.py; BASELINE.md).
+        pkey = _key_lookup(
+            key_grid_flat, grid_lo_mm, grid_n_mm,
+            x10[:, :, None], y10[:, None, :],
+        )
+        pix_valid = (pkey != KEY_SENTINEL) & taken[:, None, None]
 
     n_px = MESH_STEPS * MESH_STEPS
     w = pb * n_px

@@ -219,6 +219,12 @@ class Config:
             vetoed = (grid_mm < 0) | self.beam_mask[np.clip(grid_mm, 0, None)]
             key_grid = np.where(vetoed, np.int32(2**31 - 1), grid_mm * NUM_TB)
 
+            # plane tables for the Pallas lookup kernel (pad id split into
+            # two bf16-exact <= 8-bit planes; see deposit_pallas.py)
+            from .deposit_pallas import build_plane_tables
+
+            plane_hi, plane_lo = build_plane_tables(grid_mm, self.beam_mask)
+
             # Host numpy, NOT jnp: these are embedded as closure constants
             # of the jitted detector programs, and a jnp (device) constant
             # forces a device->host pull at LOWERING time — minutes over a
@@ -226,6 +232,8 @@ class Config:
             # still stages them into device memory exactly once at compile.
             self._device_cache = {
                 "key_grid_mm": key_grid.astype(np.int32),
+                "plane_hi": plane_hi,
+                "plane_lo": plane_lo,
                 "grid_lo_mm": float(lo),
                 "grid_n_mm": n_mm,
                 "edges": np.asarray(self.pad_grid_edges, dtype=np.float32),

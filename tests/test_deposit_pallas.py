@@ -1,0 +1,106 @@
+"""Pallas pad-lookup kernel vs the elementwise gather path.
+
+The kernel must be EXACT (one-hot bf16-plane matmuls reproduce integer
+table values bit-for-bit — deposit_pallas.py docstring), so the full
+deposit_and_merge output with pallas_lookup=True (interpret mode on CPU)
+must equal the gather path's output exactly.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from attpc_engine_tpu.detector.deposit_pallas import (
+    PAD_ID_SENTINEL,
+    build_plane_tables,
+    pad_lookup_pallas,
+)
+from attpc_engine_tpu.detector.deposition import deposit_and_merge
+from attpc_engine_tpu.detector.parameters import Config, PadParams
+from attpc_engine_tpu import nuclear_map
+
+
+def _config():
+    from attpc_engine_tpu.nuclear import GasTarget
+    from attpc_engine_tpu.detector import DetectorParams, ElectronicsParams
+
+    gas = GasTarget([(1, 2, 2)], 300.0, nuclear_map)
+    return Config(
+        DetectorParams(1.0, 45000.0, 2.85, 175000, gas, 0.277, 0.2, 34.0),
+        ElectronicsParams(6.25, 900, 1000, 10, 560, 40),
+        PadParams(),
+    )
+
+
+def test_kernel_exact_vs_direct_lookup():
+    rng = np.random.default_rng(0)
+    n_mm = 559
+    grid = rng.integers(-1, 10240, size=(n_mm, n_mm)).astype(np.int64)
+    beam = np.zeros(10240, bool)
+    beam[rng.integers(0, 10240, 122)] = True
+    hi, lo = build_plane_tables(grid, beam)
+    p = 300
+    ix = rng.integers(-5, n_mm + 5, size=(p, 10)).astype(np.int32)
+    iy = rng.integers(-5, n_mm + 5, size=(p, 10)).astype(np.int32)
+    out = np.asarray(pad_lookup_pallas(ix, iy, hi, lo))
+
+    vet = (grid < 0) | beam[np.clip(grid, 0, None)]
+    ids = np.where(vet, int(PAD_ID_SENTINEL), grid)
+    ixc, iyc = np.clip(ix, 0, n_mm - 1), np.clip(iy, 0, n_mm - 1)
+    ref = ids[ixc[:, :, None], iyc[:, None, :]]
+    # out-of-plane pixels are the caller's mask; compare in-plane only
+    inb = ((ix >= 0) & (ix < n_mm))[:, :, None] & (
+        (iy >= 0) & (iy < n_mm)
+    )[:, None, :]
+    np.testing.assert_array_equal(out[inb], ref[inb])
+
+
+def test_deposit_and_merge_pallas_equals_gather():
+    config = _config()
+    dev = config.device_arrays()
+    rng = np.random.default_rng(7)
+    e, k, t = 3, 2, 40
+    b = e * k
+    positions = np.zeros((t, b, 3), np.float32)
+    # tracks wandering across the plane at varying z (varying sigma)
+    positions[:, :, 0] = np.cumsum(rng.normal(0, 0.004, (t, b)), 0)
+    positions[:, :, 1] = 0.08 + np.cumsum(rng.normal(0, 0.004, (t, b)), 0)
+    positions[:, :, 2] = rng.uniform(0.1, 0.99, (t, b))
+    electrons = rng.integers(0, 2000, (t, b)).astype(np.int32)
+    valid = rng.random((t, b)) < 0.9
+    labels = np.tile(np.arange(k, dtype=np.int32) + 2, e)
+
+    kw = dict(
+        key_grid_mm=dev["key_grid_mm"],
+        grid_lo_mm=dev["grid_lo_mm"],
+        grid_n_mm=dev["grid_n_mm"],
+        diffusion=config.det_params.diffusion,
+        efield=config.det_params.efield,
+        drift_velocity=config.drift_velocity,
+        micromegas_edge=10.0,
+        length=1.0,
+        mpgd_gain=175000.0,
+        n_events=e,
+        tracks_per_event=k,
+        point_budget=128,
+        uniq_budget=4096,
+    )
+    key = jax.random.PRNGKey(5)
+    out_g = deposit_and_merge(
+        key, jnp.asarray(positions), jnp.asarray(electrons),
+        jnp.asarray(valid), jnp.asarray(labels), **kw,
+    )
+    out_p = deposit_and_merge(
+        key, jnp.asarray(positions), jnp.asarray(electrons),
+        jnp.asarray(valid), jnp.asarray(labels),
+        pallas_lookup=True,
+        plane_hi=dev["plane_hi"], plane_lo=dev["plane_lo"],
+        **kw,
+    )
+    assert int(np.asarray(out_g["counts"]).sum()) > 50
+    for name in ("pads", "tbs", "charges", "labels", "events",
+                 "cloud_valid", "counts", "n_points"):
+        np.testing.assert_array_equal(
+            np.asarray(out_g[name]), np.asarray(out_p[name]), err_msg=name
+        )

@@ -234,3 +234,23 @@ def test_load_target_json(tmp_path):
     assert isinstance(gas, GasTarget)
     assert gas.pressure == 300.0
     assert gas.components == [(1, 2, 2)]
+
+
+def test_stopping_velocity_scaling_z1():
+    """Deuteron stopping must equal proton stopping at equal VELOCITY.
+
+    Electronic stopping depends on (z, beta) only — for z = 1 there is no
+    effective-charge difference — so dE/dx_d(KE * m_d/m_p) = dE/dx_p(KE)
+    in the velocity regime where nuclear stopping is negligible. This is
+    an exact internal invariant (no external table exists for deuterons in
+    most gases) that pins the model's velocity machinery for the deuteron
+    tracks of the flagship 12C(d,p) chain."""
+    from attpc_engine_tpu.nuclear.stopping import mass_stopping_power
+
+    d2 = [(1, 2, 1.0)]
+    m_p, m_d = 938.272, 1875.613
+    kes_p = np.array([0.5, 1.0, 2.0, 5.0, 10.0, 50.0])
+    kes_d = kes_p * (m_d / m_p)  # same gamma -> same beta
+    s_p = mass_stopping_power(1, m_p, kes_p, d2)
+    s_d = mass_stopping_power(1, m_d, kes_d, d2)
+    np.testing.assert_allclose(s_d, s_p, rtol=1e-3)
