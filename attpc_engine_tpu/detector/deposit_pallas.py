@@ -98,8 +98,10 @@ def _lookup_kernel(ixf_ref, ymat_ref, thi_ref, tlo_ref, out_ref):
     ymat = ymat_ref[:]  # [R, 10]
     outs = []
     for j in range(10):
-        sel = (cols == ymat[:, j][:, None]).astype(f32)
-        outs.append(jnp.sum(rowvals * sel, axis=1))
+        # select-then-reduce (not convert+multiply): one fewer VPU pass
+        # over the [R, _NY] tile per output column
+        hit = jnp.where(cols == ymat[:, j][:, None], rowvals, f32(0.0))
+        outs.append(jnp.sum(hit, axis=1))
     out_ref[:] = jnp.stack(outs, axis=1)
 
 

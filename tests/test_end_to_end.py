@@ -364,3 +364,58 @@ def test_decay_chain_detector_end_to_end(tmp_path):
             assert (np.diff(d_arr[:, 2]) >= 0).all()
         assert seen_labels <= {2, 4, 6, 7}
         assert len(seen_labels) >= 3  # several species actually hit pads
+
+
+def test_steps_probe_ladder_matches_full_window(tmp_path):
+    """The auto-tuned probe-first step window (first batch runs ONE chunk,
+    x4 retry ladder when tracks outlive it) must produce the same physics
+    as a pinned full-window run. chunk_steps=50 forces at least one
+    saturation retry (12C tracks at 120 MeV live for hundreds of steps)."""
+    import glob
+
+    pipeline = _pipeline()
+    kine = tmp_path / "k.h5"
+    run_kinematics_pipeline(pipeline, 4, kine, batch_size=4, seed=55,
+                            show_progress=False)
+    config = _config()
+
+    outs = {}
+    for name, auto in (("probe", True), ("pinned", False)):
+        engine = EngineParams(
+            n_time_steps=800, chunk_steps=50, point_budget=2048,
+            uniq_budget=16384, out_budget=8192, events_per_batch=4,
+        )
+        d = tmp_path / name
+        d.mkdir()
+        run_simulation(
+            config, kine, SpyralWriter(d, config), engine=engine, seed=9,
+            show_progress=False, auto_tune=auto,
+        )
+        outs[name] = sorted(glob.glob(str(d / "run_*.h5")))
+
+    # wiggle stream depends on pool shapes (documented); compare the
+    # shape-independent columns keyed by (pad, int tb)
+    def keyed(f):
+        events = {}
+        g = f["cloud"]
+        for k in g.keys():
+            if not k.startswith("cloud_"):
+                continue
+            d = np.asarray(g[k])
+            lab = np.asarray(g[k.replace("cloud", "labels")])
+            events[k] = {
+                (int(d[i, 5]), int(d[i, 6])): (
+                    d[i, 0], d[i, 1], d[i, 3], d[i, 4], d[i, 7], lab[i]
+                )
+                for i in range(len(d))
+            }
+        return events
+
+    with h5.File(outs["probe"][0]) as a, h5.File(outs["pinned"][0]) as b:
+        ea, eb = keyed(a), keyed(b)
+        assert set(ea.keys()) == set(eb.keys())
+        assert any(len(v) for v in ea.values())
+        for k in ea:
+            assert ea[k].keys() == eb[k].keys(), k
+            for key in ea[k]:
+                assert ea[k][key] == eb[k][key], (k, key)
