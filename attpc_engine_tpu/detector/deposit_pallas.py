@@ -42,7 +42,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-__all__ = ["pad_lookup_pallas", "PAD_ID_SENTINEL", "build_plane_tables"]
+__all__ = [
+    "pad_lookup_pallas",
+    "packed_key_lookup_pallas",
+    "PAD_ID_SENTINEL",
+    "build_plane_tables",
+]
 
 PAD_ID_SENTINEL = np.int32(10240)
 _PB = 64  # points per grid block (PB=128 hits the 16 MB scoped-VMEM limit: 20.3 MB measured)
@@ -69,16 +74,8 @@ def build_plane_tables(grid_mm: np.ndarray, beam_mask: np.ndarray):
     return hi, lo
 
 
-def _lookup_kernel(ixf_ref, ymat_ref, thi_ref, tlo_ref, out_ref):
-    """One block of _PB points.
-
-    ixf_ref: [_PB*10, 1] i32 — x cell of pixel column i, row r = p*10 + i,
-        clipped to [0, _NX).
-    ymat_ref: [_PB*10, 10] i32 — y cells replicated per row: ymat[r, j] =
-        iy[p, j], clipped to [0, _NY).
-    thi/tlo_ref: [_NX, _NY] bf16 planes.
-    out_ref: [_PB*10, 10] f32 — out[p*10 + i, j] = pad id at (ix_i, iy_j).
-    """
+def _select_padvals(ixf_ref, ymat_ref, thi_ref, tlo_ref):
+    """Shared kernel core: [R, 10] f32 pad ids at (ix of row, iy of col)."""
     f32 = jnp.float32
     r = ixf_ref.shape[0]
     ixf = ixf_ref[:]  # [R, 1]
@@ -102,7 +99,41 @@ def _lookup_kernel(ixf_ref, ymat_ref, thi_ref, tlo_ref, out_ref):
         # over the [R, _NY] tile per output column
         hit = jnp.where(cols == ymat[:, j][:, None], rowvals, f32(0.0))
         outs.append(jnp.sum(hit, axis=1))
-    out_ref[:] = jnp.stack(outs, axis=1)
+    return jnp.stack(outs, axis=1)
+
+
+def _lookup_kernel(ixf_ref, ymat_ref, thi_ref, tlo_ref, out_ref):
+    """One block of _PB points.
+
+    ixf_ref: [_PB*10, 1] i32 — x cell of pixel column i, row r = p*10 + i,
+        clipped to [0, _NX).
+    ymat_ref: [_PB*10, 10] i32 — y cells replicated per row: ymat[r, j] =
+        iy[p, j], clipped to [0, _NY).
+    thi/tlo_ref: [_NX, _NY] bf16 planes.
+    out_ref: [_PB*10, 10] f32 — out[p*10 + i, j] = pad id at (ix_i, iy_j).
+    """
+    out_ref[:] = _select_padvals(ixf_ref, ymat_ref, thi_ref, tlo_ref)
+
+
+def _packed_kernel(
+    ixf_ref, ymat_ref, tbr_ref, thi_ref, tlo_ref, out_ref, *,
+    rank_bits: int, sentinel: int,
+):
+    """Fused variant: emits the MERGE KEY directly.
+
+    tbr_ref: [_PB*10, 1] i32 — per point (tb << rank_bits) | rank,
+        replicated over the point's 10 rows. Invalid pixels must have been
+        aliased by the caller onto sentinel table cells (padding row/cols),
+        so validity is just pad < PAD_ID_SENTINEL here.
+    out_ref: [_PB*10, 10] i32 — ((pad*512 + tb) << rank_bits) | rank, or
+        ``sentinel`` where the pad cell is vetoed/out of plane.
+    """
+    vals = _select_padvals(ixf_ref, ymat_ref, thi_ref, tlo_ref)
+    vi = vals.astype(jnp.int32)
+    pk = vi * np.int32(512 << rank_bits) + tbr_ref[:]
+    out_ref[:] = jnp.where(
+        vi < np.int32(int(PAD_ID_SENTINEL)), pk, np.int32(sentinel)
+    )
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -162,3 +193,68 @@ def pad_lookup_pallas(
         interpret=interpret,
     )(ixf, ymat, thi, tlo)
     return out.reshape(p_pad, 10, 10).astype(jnp.int32)[:p]
+
+
+@partial(jax.jit, static_argnames=("rank_bits", "sentinel", "interpret"))
+def packed_key_lookup_pallas(
+    ix: jax.Array,
+    iy: jax.Array,
+    tbr: jax.Array,
+    plane_hi: jax.Array,
+    plane_lo: jax.Array,
+    rank_bits: int,
+    sentinel: int,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Fused mesh lookup + merge-key packing.
+
+    ix, iy: [P, 10] int32 mm-cell indices. The CALLER must alias invalid
+        pixels (out of plane, dead point) onto sentinel table cells:
+        ix -> _NX - 1 (the padding row), iy -> _NY - 1 (a padding column).
+    tbr: [P] int32 — (tb_i << rank_bits) | deposition_rank per point.
+
+    Returns [P, 10, 10] int32 merge keys
+    ((pad * 512 + tb) << rank_bits) | rank, with ``sentinel`` for
+    vetoed/hole/out-of-plane pixels.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    p = ix.shape[0]
+    nb = -(-p // _PB)
+    p_pad = nb * _PB
+    ixc = jnp.clip(ix, 0, _NX - 1).astype(jnp.int32)
+    iyc = jnp.clip(iy, 0, _NY - 1).astype(jnp.int32)
+    tbr = tbr.astype(jnp.int32)
+    if p_pad != p:
+        pad_n = p_pad - p
+        # padded points alias the sentinel row -> sentinel keys
+        ixc = jnp.pad(ixc, ((0, pad_n), (0, 0)), constant_values=_NX - 1)
+        iyc = jnp.pad(iyc, ((0, pad_n), (0, 0)), constant_values=_NY - 1)
+        tbr = jnp.pad(tbr, (0, pad_n))
+
+    ixf = ixc.reshape(p_pad * 10, 1)
+    ymat = jnp.broadcast_to(
+        iyc[:, None, :], (p_pad, 10, 10)
+    ).reshape(p_pad * 10, 10)
+    tbrf = jnp.broadcast_to(tbr[:, None], (p_pad, 10)).reshape(p_pad * 10, 1)
+
+    thi = plane_hi.astype(jnp.bfloat16)
+    tlo = plane_lo.astype(jnp.bfloat16)
+
+    zero = np.int32(0)
+    kern = partial(_packed_kernel, rank_bits=rank_bits, sentinel=sentinel)
+    out = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((_PB * 10, 1), lambda b: (b, zero)),
+            pl.BlockSpec((_PB * 10, 10), lambda b: (b, zero)),
+            pl.BlockSpec((_PB * 10, 1), lambda b: (b, zero)),
+            pl.BlockSpec((_NX, _NY), lambda b: (zero, zero)),
+            pl.BlockSpec((_NX, _NY), lambda b: (zero, zero)),
+        ],
+        out_specs=pl.BlockSpec((_PB * 10, 10), lambda b: (b, zero)),
+        out_shape=jax.ShapeDtypeStruct((p_pad * 10, 10), jnp.int32),
+        interpret=interpret,
+    )(ixf, ymat, tbrf, thi, tlo)
+    return out.reshape(p_pad, 10, 10)[:p]

@@ -338,26 +338,32 @@ def deposit_and_merge(
     q_point = jnp.zeros((MESH_STEPS, MESH_STEPS), dtype=f32).at[0, 0].set(1.0)
     q_pix = jnp.where(has_diff[:, None, None], q_pix, pne[:, None, None] * q_point)
 
+    n_px = MESH_STEPS * MESH_STEPS
+    w = pb * n_px
     if pallas_lookup and plane_hi is not None:
-        # Pallas kernel: one-hot MXU row fetch + vectorized column select
-        # (deposit_pallas.py) — replaces the issue-rate-bound 22M-element
-        # gather (~185 ms at bench shapes) with ~10x fewer effective
-        # lookups; exact by construction, verified against the gather path
-        # in tests/test_deposit_pallas.py.
-        from .deposit_pallas import pad_lookup_pallas
+        # Pallas kernel: one-hot MXU row fetch + vectorized column select,
+        # fused with the merge-key packing (deposit_pallas.py) — replaces
+        # the issue-rate-bound 22M-element gather (~185 ms at bench
+        # shapes) AND the [22M] packed-key build pass; exact by
+        # construction, verified against the gather path in
+        # tests/test_deposit_pallas.py. Invalid pixels (out of plane, dead
+        # point) are aliased onto sentinel table cells, so every validity
+        # test folds into the table value itself.
+        from .deposit_pallas import packed_key_lookup_pallas
 
         ix = jnp.floor(x10 * 1000.0 - grid_lo_mm).astype(jnp.int32)
         iy = jnp.floor(y10 * 1000.0 - grid_lo_mm).astype(jnp.int32)
-        inb_x = (ix >= 0) & (ix < grid_n_mm)
-        inb_y = (iy >= 0) & (iy < grid_n_mm)
-        pads = pad_lookup_pallas(ix, iy, plane_hi, plane_lo)  # [P, 10, 10]
-        pkey = pads * NUM_TB
-        pix_valid = (
-            inb_x[:, :, None]
-            & inb_y[:, None, :]
-            & (pads < 10240)
-            & taken[:, None, None]
-        )
+        bad_x = (ix < 0) | (ix >= grid_n_mm) | ~taken[:, None]
+        bad_y = (iy < 0) | (iy >= grid_n_mm)
+        ix = jnp.where(bad_x, 559, ix)  # sentinel-filled padding row
+        iy = jnp.where(bad_y, 639, iy)  # sentinel-filled padding column
+        tbr = (ptbi << rank_bits) | prank
+        packed3 = packed_key_lookup_pallas(
+            ix, iy, tbr, plane_hi, plane_lo,
+            rank_bits=rank_bits, sentinel=int(KEY_SENTINEL),
+        )  # [P, 10, 10] int32 merge keys
+        packed = packed3.reshape(e, w)
+        qq_in = jnp.where(packed3 != KEY_SENTINEL, q_pix, 0.0).reshape(e, w)
     else:
         # one single-pass gather: pad*NUM_TB or sentinel, veto pre-folded.
         # This gather is the hottest op of the whole detector step (~190 ms
@@ -373,15 +379,12 @@ def deposit_and_merge(
             x10[:, :, None], y10[:, None, :],
         )
         pix_valid = (pkey != KEY_SENTINEL) & taken[:, None, None]
-
-    n_px = MESH_STEPS * MESH_STEPS
-    w = pb * n_px
-    packed = jnp.where(
-        pix_valid,
-        ((pkey + ptbi[:, None, None]) << rank_bits) | prank[:, None, None],
-        KEY_SENTINEL,
-    ).reshape(e, w)
-    qq_in = jnp.where(pix_valid, q_pix, 0.0).reshape(e, w)
+        packed = jnp.where(
+            pix_valid,
+            ((pkey + ptbi[:, None, None]) << rank_bits) | prank[:, None, None],
+            KEY_SENTINEL,
+        ).reshape(e, w)
+        qq_in = jnp.where(pix_valid, q_pix, 0.0).reshape(e, w)
 
     # --- per-event-window merge to unique (pad, tb) ----------------------- #
     key2, sums, valid2, n_uniq = _merge_runs(packed, qq_in, u_cap, rank_bits)

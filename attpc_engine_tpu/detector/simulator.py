@@ -422,21 +422,42 @@ class DetectorSimulator:
         # small nucleus index), so the sort carries 3 operands total.
         rowkey = jnp.where(keep, -tbs, jnp.float32(jnp.inf)).reshape(e, w)
         packed_pl = jnp.where(keep, cloud["pads"] * 256 + cloud["labels"], 0)
+        # unstable: keys are wiggled tb floats (ties have measure zero) and
+        # the reference's own z-ordering is an unstable np.argsort
+        # (writer.py:236-238); dropping stability cuts the sort's iota
+        # tiebreaker operand
         rk, q_s, pl_s = jax.lax.sort(
             (rowkey, q.reshape(e, w), packed_pl.reshape(e, w)),
             dimension=1,
-            is_stable=True,
+            is_stable=False,
             num_keys=1,
         )
 
-        # pack row prefixes into the pooled output: slot -> (event, column)
+        # pack row prefixes into the pooled output: slot -> (event, column).
+        # NOT searchsorted: a binary search over [out_pool] slots lowers to
+        # ~log2(e) serialized gather passes (~100 ms at out_pool 1.6M,
+        # measured — convert cost scaled 80 ms per 2048 of out_budget).
+        # Instead scatter each event's start into the pool and take
+        # cumulative sum/max: slot s belongs to event ev[s] = #{i >= 1:
+        # cum[i] <= s}, whose start is the largest marked start <= s.
         cum = jnp.concatenate(
             [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
         )
         slots = jnp.arange(out_pool, dtype=jnp.int32)
-        ev = jnp.searchsorted(cum, slots, side="right").astype(jnp.int32) - 1
-        ev = jnp.clip(ev, 0, e - 1)
-        col = jnp.clip(slots - cum[ev], 0, w - 1)
+        starts_i = cum[1:e]  # event boundaries inside the pool
+        mark = (
+            jnp.zeros(out_pool, jnp.int32)
+            .at[starts_i]
+            .add(1, mode="drop")
+        )
+        ev = jnp.cumsum(mark, dtype=jnp.int32)
+        start_mark = (
+            jnp.zeros(out_pool, jnp.int32)
+            .at[starts_i]
+            .max(starts_i, mode="drop")
+        )
+        start_of = jax.lax.cummax(start_mark)
+        col = jnp.clip(slots - start_of, 0, w - 1)
         ok = slots < jnp.minimum(total, out_pool)
 
         # flat 1-D gathers: 2-D fancy indexing (rk[ev, col]) lowers to a
@@ -944,7 +965,7 @@ def run_simulation(
                     budgets["uniq"], round_up(uniq_max * 1.3, 1024)
                 )
                 budgets["out"] = min(
-                    budgets["out"], round_up(kept / eb * 1.4, 2048)
+                    budgets["out"], round_up(kept / eb * 1.3, 1024)
                 )
                 budgets["steps"] = min(
                     round_up(steps_alive * 1.3, chunk), engine.n_time_steps
