@@ -63,8 +63,13 @@ def build_plane_tables(grid_mm: np.ndarray, beam_mask: np.ndarray):
     PAD_ID_SENTINEL. Returns (hi, lo) with value = hi * 128 + lo.
     """
     n_mm = grid_mm.shape[0]
-    if n_mm > _NX:
-        raise ValueError(f"pad grid too large for the lookup kernel: {n_mm}")
+    if n_mm >= _NX:
+        # the deposit path aliases invalid pixels onto row _NX-1 / col
+        # _NY-1 and relies on them being sentinel-filled padding, so the
+        # grid must leave at least one padding row and column
+        raise ValueError(
+            f"pad grid too large for the lookup kernel: {n_mm} >= {_NX}"
+        )
     vetoed = (grid_mm < 0) | beam_mask[np.clip(grid_mm, 0, None)]
     ids = np.where(vetoed, int(PAD_ID_SENTINEL), grid_mm).astype(np.int32)
     full = np.full((_NX, _NY), int(PAD_ID_SENTINEL), dtype=np.int32)

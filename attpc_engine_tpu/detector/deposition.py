@@ -349,14 +349,16 @@ def deposit_and_merge(
         # tests/test_deposit_pallas.py. Invalid pixels (out of plane, dead
         # point) are aliased onto sentinel table cells, so every validity
         # test folds into the table value itself.
-        from .deposit_pallas import packed_key_lookup_pallas
+        from .deposit_pallas import _NX, _NY, packed_key_lookup_pallas
 
         ix = jnp.floor(x10 * 1000.0 - grid_lo_mm).astype(jnp.int32)
         iy = jnp.floor(y10 * 1000.0 - grid_lo_mm).astype(jnp.int32)
         bad_x = (ix < 0) | (ix >= grid_n_mm) | ~taken[:, None]
         bad_y = (iy < 0) | (iy >= grid_n_mm)
-        ix = jnp.where(bad_x, 559, ix)  # sentinel-filled padding row
-        iy = jnp.where(bad_y, 639, iy)  # sentinel-filled padding column
+        # alias invalid pixels onto the kernel table's sentinel-filled
+        # padding (guaranteed by build_plane_tables' n_mm < _NX guard)
+        ix = jnp.where(bad_x, _NX - 1, ix)
+        iy = jnp.where(bad_y, _NY - 1, iy)
         tbr = (ptbi << rank_bits) | prank
         packed3 = packed_key_lookup_pallas(
             ix, iy, tbr, plane_hi, plane_lo,

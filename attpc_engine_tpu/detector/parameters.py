@@ -220,10 +220,18 @@ class Config:
             key_grid = np.where(vetoed, np.int32(2**31 - 1), grid_mm * NUM_TB)
 
             # plane tables for the Pallas lookup kernel (pad id split into
-            # two bf16-exact <= 8-bit planes; see deposit_pallas.py)
+            # two bf16-exact <= 8-bit planes; see deposit_pallas.py).
+            # Grids too large for the kernel's fixed table simply skip it —
+            # the elementwise-gather path handles any n_mm, so this must
+            # not be fatal at config time.
             from .deposit_pallas import build_plane_tables
 
-            plane_hi, plane_lo = build_plane_tables(grid_mm, self.beam_mask)
+            try:
+                plane_hi, plane_lo = build_plane_tables(
+                    grid_mm, self.beam_mask
+                )
+            except ValueError:
+                plane_hi = plane_lo = None
 
             # Host numpy, NOT jnp: these are embedded as closure constants
             # of the jitted detector programs, and a jnp (device) constant

@@ -59,6 +59,7 @@ def _engine_fingerprint(engine: "EngineParams | None") -> tuple | None:
         engine.n_time_steps, engine.dt, engine.chunk_steps,
         engine.point_budget, engine.uniq_budget, engine.cloud_cap,
         engine.out_budget, engine.events_per_batch, engine.pallas_transport,
+        engine.pallas_lookup,
     )
 
 
@@ -104,6 +105,12 @@ class EngineParams:
         elsewhere (the CPU fallback is the slow Pallas interpreter, and
         pallas_call does not partition under a >1-device mesh); ``True``
         forces it everywhere, ``False`` never uses it.
+    pallas_lookup: bool | str
+        Same semantics for the deposit pad-lookup kernel
+        (deposit_pallas.py) — an independent knob so transport and lookup
+        can be A/B-measured separately. Falls back to the elementwise
+        gather when the pad grid exceeds the kernel's table (planes are
+        None) regardless of this flag.
     """
 
     n_time_steps: int = 10000
@@ -115,6 +122,7 @@ class EngineParams:
     out_budget: int = 8192
     events_per_batch: int = 256
     pallas_transport: bool | str = "auto"
+    pallas_lookup: bool | str = "auto"
 
 
 class DetectorSimulator:
@@ -242,12 +250,18 @@ class DetectorSimulator:
         gv0 = gvs.reshape(b, 3)
         s_idx = jnp.tile(jnp.arange(k, dtype=jnp.int32), e)
 
-        pt = eng.pallas_transport
-        use_pallas = pt is True or (
-            pt == "auto"
-            and jax.default_backend() == "tpu"
-            and (self.mesh is None or self.mesh.size == 1)
-        )
+        def pallas_on(flag) -> bool:
+            """bool | "auto" -> effective enablement (auto = single-chip
+            TPU: the CPU fallback is the slow interpreter, and pallas_call
+            does not partition under a >1-device mesh)."""
+            if flag == "auto":
+                return jax.default_backend() == "tpu" and (
+                    self.mesh is None or self.mesh.size == 1
+                )
+            return bool(flag)
+
+        use_pallas = pallas_on(eng.pallas_transport)
+        use_pallas_lookup = pallas_on(eng.pallas_lookup)
         if use_pallas and n_steps <= eng.chunk_steps:
             # single window fits one kernel launch
             from .transport_pallas import integrate_tracks_pallas
@@ -319,7 +333,7 @@ class DetectorSimulator:
             tracks_per_event=k,
             point_budget=point_budget,
             uniq_budget=uniq_budget,
-            pallas_lookup=use_pallas,
+            pallas_lookup=use_pallas_lookup,
             plane_hi=dev["plane_hi"],
             plane_lo=dev["plane_lo"],
         )

@@ -103,12 +103,19 @@ def main() -> None:
         120.0,
     )
     # default engine params; run_simulation auto-tunes the pool budgets to
-    # the observed multiplicities after the first batch. pallas_transport
-    # defaults to "auto" (Pallas RK4 on single-chip TPU); BENCH_PALLAS=0
-    # forces the lax.scan integrator for A/B comparison.
+    # the observed multiplicities after the first batch. The Pallas
+    # kernels default to "auto" (on, for single-chip TPU); for A/B
+    # attribution BENCH_PALLAS_TRANSPORT=0 forces the lax.scan integrator
+    # and BENCH_PALLAS_LOOKUP=0 the elementwise gather (BENCH_PALLAS=0
+    # disables both).
     engine = EngineParams(events_per_batch=det_batch)
     if os.environ.get("BENCH_PALLAS") == "0":
         engine.pallas_transport = False
+        engine.pallas_lookup = False
+    if os.environ.get("BENCH_PALLAS_TRANSPORT") == "0":
+        engine.pallas_transport = False
+    if os.environ.get("BENCH_PALLAS_LOOKUP") == "0":
+        engine.pallas_lookup = False
 
     tmp_ctx = None
     if outdir is None:
