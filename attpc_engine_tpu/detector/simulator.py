@@ -63,6 +63,23 @@ def _engine_fingerprint(engine: "EngineParams | None") -> tuple | None:
     )
 
 
+def split_packed(packed: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """[P, 3] int32 packed device rows -> (pf [P, 2] f32, pi [P, 2] i16).
+
+    Bit-exact inverse of _convert_to_spyral's packing: columns 0-1 are the
+    raw f32 bit patterns of (gained charge, wiggled tb), column 2 holds
+    pad << 16 | label & 0xffff. Kept in sync with the standalone copy in
+    io/spyral_child.py (which deliberately imports no package modules) by
+    tests/test_writer_proc.py.
+    """
+    pf = np.ascontiguousarray(packed[:, :2]).view(np.float32)
+    pl = packed[:, 2]
+    pi = np.empty((len(packed), 2), dtype=np.int16)
+    np.right_shift(pl, 16, out=pi[:, 0], casting="unsafe")
+    np.bitwise_and(pl, 0xFFFF, out=pi[:, 1], casting="unsafe")
+    return pf, pi
+
+
 @dataclass
 class EngineParams:
     """Engine-level knobs of the batched detector simulation (no analog in
@@ -94,6 +111,13 @@ class EngineParams:
     out_budget: int
         Shared output pool budget per event for the Spyral-formatted rows
         (device->host transfers scale with this).
+    transfer_quantum: int
+        Packed device->host slice lengths are rounded up to this many rows
+        (each distinct length compiles one tiny slice program; without
+        rounding EVERY batch would compile one). 65,536 rows = 768 KB of
+        padding worst-case — at the measured ~12-34 MB/s tunnel the padding
+        costs less than a batch's worth of the old 262,144 granule, which
+        padded ~36% of the flagship transfer.
     events_per_batch: int
         Events per XLA program execution.
     pallas_transport: bool | str
@@ -123,6 +147,7 @@ class EngineParams:
     events_per_batch: int = 256
     pallas_transport: bool | str = "auto"
     pallas_lookup: bool | str = "auto"
+    transfer_quantum: int = 65536
 
 
 class DetectorSimulator:
@@ -338,11 +363,11 @@ class DetectorSimulator:
             plane_lo=dev["plane_lo"],
         )
         window = cloud["pads"].shape[0] // e
-        packed_f32, packed_i16, counts, out_overflow = self._convert_to_spyral(
+        packed, counts, out_overflow = self._convert_to_spyral(
             cloud, out_budget, e, window
         )
-        cloud["packed_f32"] = packed_f32  # [E*out_budget, 2] charge, tb
-        cloud["packed_i16"] = packed_i16  # [E*out_budget, 2] pad, label
+        # [E*out_budget, 3] i32: charge bits, tb bits, pad << 16 | label
+        cloud["packed"] = packed
         cloud["spyral_counts"] = counts
         cloud["spyral_overflow"] = out_overflow
         # one small array for everything the host polls per batch (the
@@ -485,19 +510,23 @@ class DetectorSimulator:
         # carry only what can't be recomputed on the host: the device->host
         # tunnel measures ~20 MB/s, so x/y/z/size/amplitude/integral (all
         # derivable from pad id, tb and the merged charge with host tables —
-        # see assemble_spyral) are NOT produced or shipped — output is a
-        # packed f32[P,2] (charge, tb) + i16[P,2] (pad, label), 12 bytes/row
-        # instead of 36
-        packed_f32 = jnp.stack([qg, tbf], axis=-1)
-        packed_f32 = jnp.where(ok[:, None], packed_f32, 0.0)
-        packed_i16 = jnp.stack(
-            [
-                jnp.where(ok, plg // 256, 0).astype(jnp.int16),
-                jnp.where(ok, plg % 256, -1).astype(jnp.int16),
-            ],
-            axis=-1,
+        # see assemble_spyral) are NOT produced or shipped. Output is ONE
+        # packed i32[P, 3] — (charge f32 bits, tb f32 bits, pad << 16 |
+        # label & 0xffff) — 12 bytes/row instead of 36, and a single array
+        # so the batch rides the tunnel as one transfer (two separate
+        # pulls paid one extra round trip + pump transaction each;
+        # split_packed on the host recovers the f32/i16 views bit-exactly)
+        qbits = jax.lax.bitcast_convert_type(
+            jnp.where(ok, qg, 0.0), jnp.int32
         )
-        return packed_f32, packed_i16, counts, out_overflow
+        tbits = jax.lax.bitcast_convert_type(
+            jnp.where(ok, tbf, 0.0), jnp.int32
+        )
+        # pad < 10240 (14 bits) in the high halfword, label (0..255, or
+        # 0xffff for pool-padding rows, i.e. i16 -1) in the low halfword
+        pl32 = jnp.where(ok, (plg // 256) * 65536 + plg % 256, 65535)
+        packed = jnp.stack([qbits, tbits, pl32], axis=-1)
+        return packed, counts, out_overflow
 
     # ------------------------------------------------------------------ #
 
@@ -524,12 +553,13 @@ class DetectorSimulator:
 
         Returns
         -------
-        dict with device arrays: ``packed_f32`` [E*out_budget, 2]
-        (gained charge, tb — amp/integral are recomputed on the host in
-        f64 from the charge) and ``packed_i16`` [E*out_budget, 2]
-        (pad, label) — the z-sorted, ADC-thresholded rows of all events
-        pooled in event order (slice event i as rows
-        [cumsum(counts)[i-1] : cumsum(counts)[i]]); ``spyral_counts`` [E];
+        dict with device arrays: ``packed`` [E*out_budget, 3] int32
+        (f32 bits of the gained charge, f32 bits of tb, pad << 16 | label
+        — split on the host with ``split_packed``; amp/integral are
+        recomputed on the host in f64 from the charge) — the z-sorted,
+        ADC-thresholded rows of all events pooled in event order (slice
+        event i as rows [cumsum(counts)[i-1] : cumsum(counts)[i]]);
+        ``spyral_counts`` [E];
         the raw merged cloud arrays and overflow counters; and, when
         ``assemble`` is True (default), host-assembled ``spyral``
         [total, 8] float64 and ``spyral_labels`` [total] int64 covering
@@ -572,8 +602,7 @@ class DetectorSimulator:
             # pull full fixed-shape arrays (fresh slice shapes would compile
             # a new device program per distinct length)
             spyral, labels = self.assemble_spyral(
-                np.asarray(out["packed_f32"])[:total],
-                np.asarray(out["packed_i16"])[:total],
+                *split_packed(np.asarray(out["packed"])[:total])
             )
             out["spyral"] = spyral
             out["spyral_labels"] = labels
@@ -754,23 +783,21 @@ def run_simulation(
         # (minutes of tunnel-compile amortized to ~5s each — measured as a
         # 6s/batch "transfer").
         def quantize(k, limit):
-            q = 262_144
+            q = engine.transfer_quantum
             return min(((k + q - 1) // q) * q, limit)
 
         if hasattr(writer, "write_spyral_pool"):
             total = int(counts.sum())
-            total_q = quantize(total, out["packed_f32"].shape[0])
-            # BEGIN the device->host copies but do not wait: the slices are
+            total_q = quantize(total, out["packed"].shape[0])
+            # BEGIN the device->host copy but do not wait: the slice is
             # enqueued on the device stream here (before the next batch's
-            # compute) and stream over the tunnel while that compute runs;
-            # the caller materializes them after dispatching the next batch
-            # (measured: hides most of the ~0.66 s packed transfer).
+            # compute) and streams over the tunnel while that compute runs;
+            # the caller materializes it after dispatching the next batch
+            # (measured: hides most of the packed transfer).
             with phase_timer(times, "pull-start"):
-                pf_dev = out["packed_f32"][:total_q]
-                pi_dev = out["packed_i16"][:total_q]
-                pf_dev.copy_to_host_async()
-                pi_dev.copy_to_host_async()
-            return counts, (pf_dev, pi_dev, total), merged_counts, None, stats
+                p_dev = out["packed"][:total_q]
+                p_dev.copy_to_host_async()
+            return counts, (p_dev, total), merged_counts, None, stats
         # reference SimulationWriter protocol path: pull the raw cloud
         # (compacted on device by simulate_batch(compact=True), so the
         # counts come from the compacted layout, not the meta block)
@@ -792,19 +819,21 @@ def run_simulation(
     def write_out(pending):
         """Assemble (host numpy) + write one batch; runs on the writer
         thread, overlapping the next batch's device work."""
-        counts, pf, pi, raw_counts, cloud_np, start, n = pending
+        counts, packed, raw_counts, cloud_np, start, n = pending
         if cloud_np is None:
             if hasattr(writer, "write_packed"):
                 # out-of-process writer: ship the packed rows, assembly +
                 # HDF5 happen in the child (see SpyralWriterProc)
                 with phase_timer(times, "ship-to-writer"):
                     writer.write_packed(
-                        pf, pi, counts, np.arange(start, start + n),
+                        packed, counts, np.arange(start, start + n),
                         raw_counts=raw_counts,
                     )
             else:
                 with phase_timer(times, "assemble"):
-                    spyral_pool, labels_pool = sim.assemble_spyral(pf, pi)
+                    spyral_pool, labels_pool = sim.assemble_spyral(
+                        *split_packed(packed)
+                    )
                 with phase_timer(times, "h5py-write"):
                     writer.write_spyral_pool(
                         spyral_pool, labels_pool, counts,
@@ -910,14 +939,13 @@ def run_simulation(
     # (started by pull_batch via copy_to_host_async) streams over the
     # tunnel while the NEXT batch computes, and is materialized right after
     # that batch's dispatch
-    pending_dev = None  # (counts, (pf_dev, pi_dev, total), raw_counts, start, n)
+    pending_dev = None  # (counts, (p_dev, total), raw_counts, start, n)
 
     def materialize_and_write(p):
-        counts_p, (pf_dev, pi_dev, total), raw_p, start_p, n_p = p
+        counts_p, (p_dev, total), raw_p, start_p, n_p = p
         with phase_timer(times, "pull-packed"):
-            pf = np.asarray(pf_dev)[:total]
-            pi = np.asarray(pi_dev)[:total]
-        _enqueue_write((counts_p, pf, pi, raw_p, None, start_p, n_p))
+            packed = np.asarray(p_dev)[:total]
+        _enqueue_write((counts_p, packed, raw_p, None, start_p, n_p))
 
     try:
         for start in range(start_event, stop, eb):
@@ -966,7 +994,7 @@ def run_simulation(
             else:
                 raise RuntimeError("pool budgets failed to converge")
             if cloud_np is not None:
-                _enqueue_write((counts, None, None, None, cloud_np, start, n))
+                _enqueue_write((counts, None, None, cloud_np, start, n))
             else:
                 pending_dev = (counts, handles, merged_cts, start, n)
             if not tuned:

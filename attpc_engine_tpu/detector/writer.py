@@ -331,13 +331,12 @@ class SpyralWriterProc:
 
     def write_packed(
         self,
-        packed_f32: np.ndarray,
-        packed_i16: np.ndarray,
+        packed: np.ndarray,
         counts: np.ndarray,
         event_numbers: np.ndarray,
         raw_counts: np.ndarray | None = None,
     ) -> None:
-        """Ship one batch of packed device rows (see
+        """Ship one batch of packed [rows, 3] i32 device rows (see
         DetectorSimulator._convert_to_spyral) to the writer process.
 
         ``raw_counts`` (pre-threshold merged entries per event) lets the
@@ -355,7 +354,7 @@ class SpyralWriterProc:
             )
         while len(self._outstanding) >= self._max_outstanding:
             self._reap_one()
-        rows = len(packed_f32)
+        rows = len(packed)
         start = int(event_numbers[0])
         raw_list = (
             None
@@ -367,10 +366,7 @@ class SpyralWriterProc:
             return
         shm = shared_memory.SharedMemory(create=True, size=max(rows * 12, 1))
         if rows:
-            np.ndarray((rows, 2), dtype=np.float32, buffer=shm.buf)[:] = packed_f32
-            np.ndarray(
-                (rows, 2), dtype=np.int16, buffer=shm.buf, offset=rows * 8
-            )[:] = packed_i16
+            np.ndarray((rows, 3), dtype=np.int32, buffer=shm.buf)[:] = packed
         self._outstanding.append(shm)
         msg = {
             "shm": shm.name,

@@ -32,33 +32,77 @@ EMPTY_SPYRAL = np.empty((0, 8), dtype=np.float64)
 EMPTY_LABELS = np.empty((0,), dtype=np.int64)
 
 
+def split_packed(packed):
+    """[P, 3] i32 packed rows -> (pf [P, 2] f32, pi [P, 2] i16).
+
+    Standalone copy of detector.simulator.split_packed (this child
+    deliberately imports no package modules); kept in sync by
+    tests/test_writer_proc.py's byte-identical check.
+    """
+    pf = np.ascontiguousarray(packed[:, :2]).view(np.float32)
+    pl = packed[:, 2]
+    pi = np.empty((len(packed), 2), dtype=np.int16)
+    np.right_shift(pl, 16, out=pi[:, 0], casting="unsafe")
+    np.bitwise_and(pl, 0xFFFF, out=pi[:, 1], casting="unsafe")
+    return pf, pi
+
+
 def assemble(pf, pi, tables):
-    """Packed device rows -> Spyral [n, 8] f64 + labels i64."""
+    """Packed device rows -> Spyral [n, 8] f64 + labels i64.
+
+    Every pass over the ~590k-row batch costs real milliseconds on this
+    one-core host (and steals cycles from the parent's tunnel pump), so the
+    arithmetic is written column-into-place with minimal temporaries.
+    """
     pads = pi[:, 0].astype(np.int64)
     labels = pi[:, 1].astype(np.int64)
-    q = pf[:, 0].astype(np.float64)
-    tbs = pf[:, 1].astype(np.float64)
-    amp = np.minimum(tables["resp_max"] * q, 4095.0)
-    thr = 4095.0 / np.maximum(q, 1e-300)
+    out = np.empty((len(pads), 8), dtype=np.float64)
+    q = out[:, 3]  # scratch: holds q until overwritten by amp
+    np.copyto(q, pf[:, 0])
+    tbs = out[:, 6]
+    np.copyto(tbs, pf[:, 1])
+    # integral via the sorted-response prefix trick (same arithmetic as
+    # DetectorSimulator.assemble_spyral)
+    thr = np.divide(4095.0, np.maximum(q, 1e-300))
     idx = np.searchsorted(tables["resp_asc"], thr, side="right")
     num_tb = len(tables["resp_asc"])
-    integral = q * tables["resp_prefix"][idx] + 4095.0 * (num_tb - idx)
+    integral = out[:, 4]
+    np.multiply(q, tables["resp_prefix"][idx], out=integral)
+    integral += 4095.0 * (num_tb - idx)
+    amp = out[:, 3]  # overwrites the q scratch
+    np.multiply(q, tables["resp_max"], out=amp)
+    np.minimum(amp, 4095.0, out=amp)
     win = float(tables["windows_edge"])
     mm = float(tables["micromegas_edge"])
-    out = np.empty((len(pads), 8), dtype=np.float64)
-    out[:, 0] = tables["pad_centers"][pads, 0]
-    out[:, 1] = tables["pad_centers"][pads, 1]
-    out[:, 2] = (win - tbs) / (win - mm) * float(tables["length"]) * 1000.0
-    out[:, 3] = amp
-    out[:, 4] = integral
+    # same op order as DetectorSimulator.assemble_spyral — the result must
+    # stay bit-identical, so no reassociation of these f64 steps
+    z = out[:, 2]
+    np.subtract(win, tbs, out=z)
+    z /= win - mm
+    z *= float(tables["length"])
+    z *= 1000.0
+    if "pad_cx" not in tables:  # contiguous column views, split once
+        tables["pad_cx"] = np.ascontiguousarray(tables["pad_centers"][:, 0])
+        tables["pad_cy"] = np.ascontiguousarray(tables["pad_centers"][:, 1])
+    np.take(tables["pad_cx"], pads, out=out[:, 0])
+    np.take(tables["pad_cy"], pads, out=out[:, 1])
     out[:, 5] = pads
-    out[:, 6] = tbs
-    out[:, 7] = tables["pad_sizes"][pads]
+    np.take(tables["pad_sizes"], pads, out=out[:, 7])
     return out, labels
 
 
 class ChildWriter:
-    """Mirror of SpyralWriter's file rotation/attr behavior."""
+    """Mirror of SpyralWriter's file rotation/attr behavior.
+
+    The uncompressed path writes through h5py's LOW-LEVEL API with cached
+    datatype/dataspace/property objects: the high-level ``create_dataset``
+    + ``attrs[...] =`` machinery costs ~0.36 s per 384-event batch in pure
+    Python/metadata overhead (768 datasets + 2,304 attrs — measured on
+    this one-core host, where every child cycle stalls the parent's TPU
+    tunnel pump). The low-level path produces the same file CONTENT
+    (dataset values, dtypes, attrs — verified byte-for-value by
+    tests/test_writer_proc.py against the in-process SpyralWriter).
+    """
 
     def __init__(self, directory, max_events, first_run, compression):
         self.directory = directory
@@ -72,6 +116,17 @@ class ChildWriter:
             self.kwargs = {"compression": "gzip", "compression_opts": 1}
         elif compression and compression != "-":
             self.kwargs = {"compression": compression}
+        self._fast = not self.kwargs
+        # cached HDF5 objects for the low-level path (file-format types,
+        # little-endian, exactly what h5py's high-level path would emit)
+        self._t_f64 = h5py.h5t.IEEE_F64LE
+        self._t_i64 = h5py.h5t.STD_I64LE
+        self._s_scalar = h5py.h5s.create(h5py.h5s.SCALAR)
+        self._a_i64 = np.empty((), dtype=np.int64)
+        self._a_f64 = np.empty((), dtype=np.float64)
+        self._ic_names = (
+            b"ic_amplitude", b"ic_multiplicity", b"ic_integral", b"ic_centroid"
+        )
         self._open()
 
     def _open(self):
@@ -79,11 +134,46 @@ class ChildWriter:
             f"{self.directory}/run_{self.run_number:04d}.h5", "w"
         )
         self.group = self.file.create_group("cloud")
+        self._gid = self.group.id
 
     def _finalize(self):
         self.group.attrs["min_event"] = self.starting_event
         self.group.attrs["max_event"] = self.last_event
         self.file.close()
+
+    def _attr_i64(self, oid, name: bytes, value: int):
+        aid = h5py.h5a.create(oid, name, self._t_i64, self._s_scalar)
+        self._a_i64[()] = value
+        aid.write(self._a_i64)
+        aid.close()
+
+    def _attr_f64(self, oid, name: bytes, value: float):
+        aid = h5py.h5a.create(oid, name, self._t_f64, self._s_scalar)
+        self._a_f64[()] = value
+        aid.write(self._a_f64)
+        aid.close()
+
+    def _write_event_fast(self, spyral, labels, event_number):
+        """Low-level twin of write_event (uncompressed, contiguous)."""
+        gid = self._gid
+        space = h5py.h5s.create_simple(spyral.shape)
+        did = h5py.h5d.create(
+            gid, b"cloud_%d" % event_number, self._t_f64, space
+        )
+        if spyral.size:
+            did.write(h5py.h5s.ALL, h5py.h5s.ALL, spyral)
+        self._attr_i64(did, b"orig_run", self.run_number)
+        self._attr_i64(did, b"orig_event", event_number)
+        for nm in self._ic_names:
+            self._attr_f64(did, nm, -1.0)
+        did.close()
+        space = h5py.h5s.create_simple(labels.shape)
+        did = h5py.h5d.create(
+            gid, b"labels_%d" % event_number, self._t_i64, space
+        )
+        if labels.size:
+            did.write(h5py.h5s.ALL, h5py.h5s.ALL, labels)
+        did.close()
 
     def write_event(self, spyral, labels, event_number):
         if self.events_written == self.max_events:
@@ -92,18 +182,21 @@ class ChildWriter:
             self._open()
             self.starting_event = event_number
             self.events_written = 0
-        d = self.group.create_dataset(
-            f"cloud_{event_number}", data=spyral, **self.kwargs
-        )
-        d.attrs["orig_run"] = self.run_number
-        d.attrs["orig_event"] = event_number
-        d.attrs["ic_amplitude"] = -1.0
-        d.attrs["ic_multiplicity"] = -1.0
-        d.attrs["ic_integral"] = -1.0
-        d.attrs["ic_centroid"] = -1.0
-        self.group.create_dataset(
-            f"labels_{event_number}", data=labels, **self.kwargs
-        )
+        if self._fast:
+            self._write_event_fast(spyral, labels, event_number)
+        else:
+            d = self.group.create_dataset(
+                f"cloud_{event_number}", data=spyral, **self.kwargs
+            )
+            d.attrs["orig_run"] = self.run_number
+            d.attrs["orig_event"] = event_number
+            d.attrs["ic_amplitude"] = -1.0
+            d.attrs["ic_multiplicity"] = -1.0
+            d.attrs["ic_integral"] = -1.0
+            d.attrs["ic_centroid"] = -1.0
+            self.group.create_dataset(
+                f"labels_{event_number}", data=labels, **self.kwargs
+            )
         self.last_event = event_number
         self.events_written += 1
 
@@ -127,13 +220,8 @@ def main() -> int:
             # for backpressure, and the copy is ~10 ms while assemble+write
             # take hundreds — acking early keeps the parent's tunnel loop
             # running
-            pf = np.array(
-                np.ndarray((rows, 2), dtype=np.float32, buffer=shm.buf)
-            )
-            pi = np.array(
-                np.ndarray(
-                    (rows, 2), dtype=np.int16, buffer=shm.buf, offset=rows * 8
-                )
+            packed = np.array(
+                np.ndarray((rows, 3), dtype=np.int32, buffer=shm.buf)
             )
         finally:
             shm.close()
@@ -146,7 +234,7 @@ def main() -> int:
                 pass
         out.write(f"ok {msg['shm']}\n")
         out.flush()
-        spyral, labels = assemble(pf, pi, tables)
+        spyral, labels = assemble(*split_packed(packed), tables)
         counts = msg["counts"]
         raw_counts = msg.get("raw_counts")
         offsets = np.concatenate([[0], np.cumsum(counts)])

@@ -109,10 +109,10 @@ def test_sharded_matches_single_device():
     c_single = np.asarray(out_single["spyral_counts"])
     c_sharded = np.asarray(out_sharded["spyral_counts"])
     np.testing.assert_array_equal(c_single, c_sharded)
-    pads_s = np.asarray(out_single["packed_i16"][:, 0])
-    pads_h = np.asarray(out_sharded["packed_i16"][:, 0])
-    int_s = np.asarray(out_single["packed_f32"][:, 1])
-    int_h = np.asarray(out_sharded["packed_f32"][:, 1])
+    pads_s = np.asarray(out_single["packed"][:, 2]) >> 16
+    pads_h = np.asarray(out_sharded["packed"][:, 2]) >> 16
+    int_s = np.asarray(out_single["packed"][:, 1]).view(np.float32)
+    int_h = np.asarray(out_sharded["packed"][:, 1]).view(np.float32)
     offsets = np.concatenate([[0], np.cumsum(c_single)])
     for e in range(8):
         lo, hi = offsets[e], offsets[e + 1]

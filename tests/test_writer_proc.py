@@ -121,8 +121,21 @@ def test_empty_event_datasets_reference_parity(tmp_path):
     w.write_spyral_pool(spyral, labels, counts, event_numbers, raw_counts)
     w.close()
 
+    # pack (pf, pi) into the [rows, 3] i32 wire layout (the inverse of
+    # simulator.split_packed) as _convert_to_spyral emits it
+    packed = np.empty((rows, 3), dtype=np.int32)
+    packed[:, :2] = pf.view(np.int32)
+    packed[:, 2] = (pi[:, 0].astype(np.int32) << 16) | (
+        pi[:, 1].astype(np.int32) & 0xFFFF
+    )
+    from attpc_engine_tpu.detector.simulator import split_packed
+
+    pf2, pi2 = split_packed(packed)
+    np.testing.assert_array_equal(pf2, pf)
+    np.testing.assert_array_equal(pi2, pi)
+
     wp = SpyralWriterProc(d_proc, config)
-    wp.write_packed(pf, pi, counts, event_numbers, raw_counts=raw_counts)
+    wp.write_packed(packed, counts, event_numbers, raw_counts=raw_counts)
     wp.close()
 
     for d in (d_pool, d_proc):

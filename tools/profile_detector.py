@@ -145,7 +145,7 @@ def main():
             gvs.reshape(e, sim.k_tracks, 3), e,
             point_budget=point_budget, uniq_budget=uniq_budget,
             out_budget=out_budget, n_steps=steps,
-        )["packed_f32"]
+        )["packed"]
     )
     t_full = timeit("full fused step", full)
 
