@@ -407,13 +407,19 @@ def deposit_and_merge(
     tbs_int = jnp.where(valid2, ufinal % NUM_TB, 0).reshape(-1)
     charges = jnp.where(valid2, sums * f32(mpgd_gain), 0.0).reshape(-1)
 
-    # TB wiggle U[0, 1) (simulator.py:108)
+    # TB wiggle U[0, 1) (simulator.py:108) — applied here for the raw
+    # reference-protocol cloud; the packed Spyral wire path instead ships
+    # the INTEGER tb (``tbs_i``) and wiggles on the host in f64 from
+    # per-event counter-based streams (simulator._wiggle_for_events):
+    # 4 fewer bytes per wire row, f64 wiggle arithmetic like the
+    # reference's, and a wiggle stream independent of events_per_batch.
     wiggle = jax.random.uniform(key, tbs_int.shape, dtype=f32)
     tbs_out = tbs_int.astype(f32) + wiggle
 
     return {
         "pads": pads_out,
         "tbs": tbs_out,
+        "tbs_i": tbs_int,
         "charges": charges,
         "labels": labels,
         "events": events_out,

@@ -63,21 +63,44 @@ def _engine_fingerprint(engine: "EngineParams | None") -> tuple | None:
     )
 
 
-def split_packed(packed: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """[P, 3] int32 packed device rows -> (pf [P, 2] f32, pi [P, 2] i16).
+def split_packed(packed: np.ndarray):
+    """[P, 2] int32 packed device rows -> (q f32, tb i32, pad i32, lab i32).
 
-    Bit-exact inverse of _convert_to_spyral's packing: columns 0-1 are the
-    raw f32 bit patterns of (gained charge, wiggled tb), column 2 holds
-    pad << 16 | label & 0xffff. Kept in sync with the standalone copy in
+    Bit-exact inverse of _convert_to_spyral's packing: column 0 is the raw
+    f32 bit pattern of the gained charge, column 1 holds
+    tb << 22 | pad << 8 | label (tb < 512, pad < 10240, label < 256, so
+    the sign bit is clear). Kept in sync with the standalone copy in
     io/spyral_child.py (which deliberately imports no package modules) by
     tests/test_writer_proc.py.
     """
-    pf = np.ascontiguousarray(packed[:, :2]).view(np.float32)
-    pl = packed[:, 2]
-    pi = np.empty((len(packed), 2), dtype=np.int16)
-    np.right_shift(pl, 16, out=pi[:, 0], casting="unsafe")
-    np.bitwise_and(pl, 0xFFFF, out=pi[:, 1], casting="unsafe")
-    return pf, pi
+    q = np.ascontiguousarray(packed[:, 0]).view(np.float32)
+    meta = packed[:, 1]
+    tb = meta >> 22
+    pad = (meta >> 8) & 0x3FFF
+    lab = meta & 0xFF
+    return q, tb, pad, lab
+
+
+def wiggle_for_events(
+    counts: np.ndarray, event_numbers: np.ndarray, seed: int
+) -> np.ndarray:
+    """U[0, 1) f64 TB wiggle (reference simulator.py:108) for a pool of
+    per-event row runs, drawn from counter-based Philox streams keyed on
+    (seed, event_number) — the stream each event sees is independent of
+    events_per_batch and resume point, so outputs are bit-identical across
+    any batching of the same run. Kept in sync with the standalone copy in
+    io/spyral_child.py by tests/test_writer_proc.py."""
+    out = np.empty(int(np.sum(counts)), np.float64)
+    pos = 0
+    for n, ev in zip(counts, event_numbers):
+        n = int(n)
+        if n:
+            gen = np.random.Generator(
+                np.random.Philox(key=[int(seed) & 0xFFFFFFFFFFFFFFFF, int(ev)])
+            )
+            out[pos : pos + n] = gen.random(n)
+            pos += n
+    return out
 
 
 @dataclass
@@ -392,12 +415,19 @@ class DetectorSimulator:
         return cloud
 
     def assemble_spyral(
-        self, packed_f32: np.ndarray, packed_i16: np.ndarray
+        self,
+        q: np.ndarray,
+        tbs: np.ndarray,
+        pads: np.ndarray,
+        labels: np.ndarray,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Host-side assembly of the Spyral 8 columns from the packed
         device output (f64, matching the reference's writer math —
         writer.py:97-111): x/y from pad centers, z from tb, size from the
         pad table, amplitude/integral from the merged charge.
+
+        q: [n] f32 gained charge; tbs: [n] f64 WIGGLED tb (integer tb +
+        host-drawn U[0,1), see wiggle_for_events); pads/labels: [n] ints.
 
         The GET response application (reference response.py:35-56: per-tb
         min(response * q, 4095), amplitude = max, integral = sum) happens
@@ -408,10 +438,10 @@ class DetectorSimulator:
 
         Returns (spyral [n, 8] f64, labels [n] i64)."""
         cfg = self.config
-        pads = packed_i16[:, 0].astype(np.int64)
-        labels = packed_i16[:, 1].astype(np.int64)
-        q = packed_f32[:, 0].astype(np.float64)
-        tbs = packed_f32[:, 1].astype(np.float64)
+        pads = pads.astype(np.int64)
+        labels = labels.astype(np.int64)
+        q = q.astype(np.float64)
+        tbs = np.asarray(tbs, dtype=np.float64)
         amp = np.minimum(self._resp_max * q, 4095.0)
         thr = 4095.0 / np.maximum(q, 1e-300)
         idx = np.searchsorted(self._resp_asc_f64, thr, side="right")
@@ -428,6 +458,34 @@ class DetectorSimulator:
         out[:, 6] = tbs
         out[:, 7] = cfg.pad_sizes[pads]
         return out, labels
+
+    def assemble_spyral_ordered(
+        self,
+        packed: np.ndarray,
+        counts: np.ndarray,
+        event_numbers: np.ndarray,
+        wiggle_seed: int,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """split_packed + host TB wiggle + per-event exact z-ordering.
+
+        The device sorts each event's rows by descending INTEGER tb; the
+        final reference semantics (sort by z computed from the wiggled tb,
+        writer.py:236-238) are completed here: wiggles are drawn per event
+        (wiggle_for_events) and each event's rows are reordered by
+        ascending z = descending wiggled tb. Returns the pooled
+        (spyral [n, 8] f64, labels [n] i64) in event order."""
+        q, tb, pad, lab = split_packed(packed)
+        w = wiggle_for_events(counts, event_numbers, wiggle_seed)
+        tbs = tb + w
+        spyral, labels = self.assemble_spyral(q, tbs, pad, lab)
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        for i in range(len(counts)):
+            lo, hi = offsets[i], offsets[i + 1]
+            if hi - lo > 1:
+                order = np.argsort(-tbs[lo:hi], kind="stable")
+                spyral[lo:hi] = spyral[lo:hi][order]
+                labels[lo:hi] = labels[lo:hi][order]
+        return spyral, labels
 
     def _convert_to_spyral(self, cloud, out_budget: int, e: int, window: int):
         """Batched Spyral conversion + ADC threshold + z-sort (reference
@@ -446,7 +504,7 @@ class DetectorSimulator:
         w = window
         q = cloud["charges"]
         valid = cloud["cloud_valid"]
-        tbs = cloud["tbs"]
+        tbs_i = cloud["tbs_i"]
 
         amp = jnp.minimum(self._resp_max * q, 4095.0)
         keep = valid & (amp > float(cfg.elec_params.adc_threshold))
@@ -456,17 +514,24 @@ class DetectorSimulator:
         out_pool = min(e * out_budget, e * w)
         out_overflow = jnp.maximum(total - out_pool, 0)
 
-        # per-row sort: kept rows first, ascending z (= ascending -tb).
-        # pad & label pack into one int32 payload (pad < 10240, label is a
-        # small nucleus index), so the sort carries 3 operands total.
-        rowkey = jnp.where(keep, -tbs, jnp.float32(jnp.inf)).reshape(e, w)
-        packed_pl = jnp.where(keep, cloud["pads"] * 256 + cloud["labels"], 0)
-        # unstable: keys are wiggled tb floats (ties have measure zero) and
-        # the reference's own z-ordering is an unstable np.argsort
-        # (writer.py:236-238); dropping stability cuts the sort's iota
+        # per-row sort: kept rows first, descending integer tb (= ascending
+        # z up to same-tb ties; the host writer draws the f64 TB wiggle and
+        # finalizes the exact z order per event — simulator.py:108 +
+        # writer.py:236-238 semantics). tb (9 bits), pad (14 bits) and
+        # label (8 bits) pack into one int32 payload, so the sort carries
+        # 3 operands and the wire needs only 8 bytes/row.
+        rowkey = jnp.where(keep, -tbs_i, jnp.int32(2**30)).reshape(e, w)
+        meta = jnp.where(
+            keep,
+            (tbs_i << 22) | (cloud["pads"] << 8) | cloud["labels"],
+            0,
+        )
+        # unstable: the reference's own z-ordering is an unstable np.argsort
+        # (writer.py:236-238) and same-tb ties are reordered by the host's
+        # wiggle sort anyway; dropping stability cuts the sort's iota
         # tiebreaker operand
-        rk, q_s, pl_s = jax.lax.sort(
-            (rowkey, q.reshape(e, w), packed_pl.reshape(e, w)),
+        rk, q_s, m_s = jax.lax.sort(
+            (rowkey, q.reshape(e, w), meta.reshape(e, w)),
             dimension=1,
             is_stable=False,
             num_keys=1,
@@ -499,33 +564,26 @@ class DetectorSimulator:
         col = jnp.clip(slots - start_of, 0, w - 1)
         ok = slots < jnp.minimum(total, out_pool)
 
-        # flat 1-D gathers: 2-D fancy indexing (rk[ev, col]) lowers to a
+        # flat 1-D gathers: 2-D fancy indexing (q_s[ev, col]) lowers to a
         # generalized gather that costs ~400 ms at this scale on TPU; the
-        # same access as a flat index is ~10x cheaper
+        # same access as a flat index is ~10x cheaper. Only TWO pool
+        # gathers: tb rides inside the meta payload.
         flat_idx = ev * w + col
-        tbf = -rk.reshape(-1)[flat_idx]
         qg = q_s.reshape(-1)[flat_idx]
-        plg = pl_s.reshape(-1)[flat_idx]
+        mg = m_s.reshape(-1)[flat_idx]
 
         # carry only what can't be recomputed on the host: the device->host
         # tunnel measures ~20 MB/s, so x/y/z/size/amplitude/integral (all
         # derivable from pad id, tb and the merged charge with host tables —
-        # see assemble_spyral) are NOT produced or shipped. Output is ONE
-        # packed i32[P, 3] — (charge f32 bits, tb f32 bits, pad << 16 |
-        # label & 0xffff) — 12 bytes/row instead of 36, and a single array
-        # so the batch rides the tunnel as one transfer (two separate
-        # pulls paid one extra round trip + pump transaction each;
-        # split_packed on the host recovers the f32/i16 views bit-exactly)
+        # see assemble_spyral) are NOT produced or shipped, and the TB
+        # wiggle is drawn host-side. Output is ONE packed i32[P, 2] —
+        # (charge f32 bits, tb << 22 | pad << 8 | label) — 8 bytes/row
+        # instead of 36, one transfer per batch (split_packed on the host
+        # recovers the fields bit-exactly).
         qbits = jax.lax.bitcast_convert_type(
             jnp.where(ok, qg, 0.0), jnp.int32
         )
-        tbits = jax.lax.bitcast_convert_type(
-            jnp.where(ok, tbf, 0.0), jnp.int32
-        )
-        # pad < 10240 (14 bits) in the high halfword, label (0..255, or
-        # 0xffff for pool-padding rows, i.e. i16 -1) in the low halfword
-        pl32 = jnp.where(ok, (plg // 256) * 65536 + plg % 256, 65535)
-        packed = jnp.stack([qbits, tbits, pl32], axis=-1)
+        packed = jnp.stack([qbits, jnp.where(ok, mg, 0)], axis=-1)
         return packed, counts, out_overflow
 
     # ------------------------------------------------------------------ #
@@ -542,6 +600,7 @@ class DetectorSimulator:
         n_steps: int | None = None,
         compact: bool = False,
         cloud_cap: int | None = None,
+        wiggle_seed: int = 0,
     ):
         """Simulate a batch of events.
 
@@ -553,13 +612,14 @@ class DetectorSimulator:
 
         Returns
         -------
-        dict with device arrays: ``packed`` [E*out_budget, 3] int32
-        (f32 bits of the gained charge, f32 bits of tb, pad << 16 | label
-        — split on the host with ``split_packed``; amp/integral are
-        recomputed on the host in f64 from the charge) — the z-sorted,
-        ADC-thresholded rows of all events pooled in event order (slice
-        event i as rows [cumsum(counts)[i-1] : cumsum(counts)[i]]);
-        ``spyral_counts`` [E];
+        dict with device arrays: ``packed`` [E*out_budget, 2] int32
+        (f32 bits of the gained charge, tb << 22 | pad << 8 | label —
+        split on the host with ``split_packed``; amp/integral are
+        recomputed on the host in f64 from the charge, the TB wiggle is
+        drawn host-side from ``wiggle_seed``) — the ADC-thresholded rows
+        of all events pooled in event order, each event's rows sorted by
+        descending integer tb (slice event i as rows
+        [cumsum(counts)[i-1] : cumsum(counts)[i]]); ``spyral_counts`` [E];
         the raw merged cloud arrays and overflow counters; and, when
         ``assemble`` is True (default), host-assembled ``spyral``
         [total, 8] float64 and ``spyral_labels`` [total] int64 covering
@@ -598,11 +658,15 @@ class DetectorSimulator:
             out["cloud_overflow"] = cc.pop("overflow")
             out.update(cc)
         if assemble:
-            total = int(np.asarray(out["spyral_counts"]).sum())
+            counts_np = np.asarray(out["spyral_counts"])
+            total = int(counts_np.sum())
             # pull full fixed-shape arrays (fresh slice shapes would compile
             # a new device program per distinct length)
-            spyral, labels = self.assemble_spyral(
-                *split_packed(np.asarray(out["packed"])[:total])
+            spyral, labels = self.assemble_spyral_ordered(
+                np.asarray(out["packed"])[:total],
+                counts_np,
+                np.arange(e),
+                wiggle_seed,
             )
             out["spyral"] = spyral
             out["spyral_labels"] = labels
@@ -823,16 +887,16 @@ def run_simulation(
         if cloud_np is None:
             if hasattr(writer, "write_packed"):
                 # out-of-process writer: ship the packed rows, assembly +
-                # HDF5 happen in the child (see SpyralWriterProc)
+                # TB wiggle + HDF5 happen in the child (see SpyralWriterProc)
                 with phase_timer(times, "ship-to-writer"):
                     writer.write_packed(
                         packed, counts, np.arange(start, start + n),
-                        raw_counts=raw_counts,
+                        raw_counts=raw_counts, wiggle_seed=seed,
                     )
             else:
                 with phase_timer(times, "assemble"):
-                    spyral_pool, labels_pool = sim.assemble_spyral(
-                        *split_packed(packed)
+                    spyral_pool, labels_pool = sim.assemble_spyral_ordered(
+                        packed, counts, np.arange(start, start + n), seed
                     )
                 with phase_timer(times, "h5py-write"):
                     writer.write_spyral_pool(

@@ -242,7 +242,7 @@ class SpyralWriterProc:
     (tests/test_writer_proc.py).
 
     Drop-in for ``run_simulation``: it exposes ``write_packed`` so the
-    driver ships the 12-byte packed device rows straight to the child and
+    driver ships the 8-byte packed device rows straight to the child and
     skips in-process assembly entirely.
     """
 
@@ -335,9 +335,12 @@ class SpyralWriterProc:
         counts: np.ndarray,
         event_numbers: np.ndarray,
         raw_counts: np.ndarray | None = None,
+        wiggle_seed: int = 0,
     ) -> None:
-        """Ship one batch of packed [rows, 3] i32 device rows (see
-        DetectorSimulator._convert_to_spyral) to the writer process.
+        """Ship one batch of packed [rows, 2] i32 device rows (see
+        DetectorSimulator._convert_to_spyral) to the writer process; the
+        child draws the per-event TB wiggle from ``wiggle_seed`` and
+        finalizes the z ordering.
 
         ``raw_counts`` (pre-threshold merged entries per event) lets the
         child write reference-parity EMPTY datasets for events whose points
@@ -346,14 +349,19 @@ class SpyralWriterProc:
         import json
         from multiprocessing import shared_memory
 
+        import time
+
         if self._proc.poll() is not None:
             # surface a child crash at the next write instead of a broken
             # pipe at close (round-2 ADVICE item 5)
             raise RuntimeError(
                 f"spyral writer child exited early (rc={self._proc.returncode})"
             )
+        t0 = time.perf_counter()
         while len(self._outstanding) >= self._max_outstanding:
             self._reap_one()
+        t1 = time.perf_counter()
+        self._t_reap = getattr(self, "_t_reap", 0.0) + (t1 - t0)
         rows = len(packed)
         start = int(event_numbers[0])
         raw_list = (
@@ -364,9 +372,10 @@ class SpyralWriterProc:
         if rows == 0 and (raw_counts is None or int(np.sum(raw_counts)) == 0):
             # nothing to assemble and no empty events to record
             return
-        shm = shared_memory.SharedMemory(create=True, size=max(rows * 12, 1))
+        shm = shared_memory.SharedMemory(create=True, size=max(rows * 8, 1))
         if rows:
-            np.ndarray((rows, 3), dtype=np.int32, buffer=shm.buf)[:] = packed
+            np.ndarray((rows, 2), dtype=np.int32, buffer=shm.buf)[:] = packed
+        self._t_shm = getattr(self, "_t_shm", 0.0) + (time.perf_counter() - t1)
         self._outstanding.append(shm)
         msg = {
             "shm": shm.name,
@@ -374,6 +383,7 @@ class SpyralWriterProc:
             "counts": np.asarray(counts, dtype=np.int64).tolist(),
             "raw_counts": raw_list,
             "start": start,
+            "wseed": int(wiggle_seed),
         }
         self._proc.stdin.write(json.dumps(msg) + "\n")
         self._proc.stdin.flush()
@@ -396,6 +406,14 @@ class SpyralWriterProc:
         if self._closed:
             return
         self._closed = True
+        if os.environ.get("ATTPC_CHILD_TIMING"):
+            import sys
+
+            print(
+                f"[writer-parent] reap={getattr(self, '_t_reap', 0.0):.2f}s "
+                f"shm={getattr(self, '_t_shm', 0.0):.2f}s",
+                file=sys.stderr,
+            )
         try:
             while self._outstanding:
                 self._reap_one()

@@ -33,34 +33,50 @@ EMPTY_LABELS = np.empty((0,), dtype=np.int64)
 
 
 def split_packed(packed):
-    """[P, 3] i32 packed rows -> (pf [P, 2] f32, pi [P, 2] i16).
+    """[P, 2] i32 packed rows -> (q f32, tb i32, pad i32, lab i32).
 
     Standalone copy of detector.simulator.split_packed (this child
     deliberately imports no package modules); kept in sync by
     tests/test_writer_proc.py's byte-identical check.
     """
-    pf = np.ascontiguousarray(packed[:, :2]).view(np.float32)
-    pl = packed[:, 2]
-    pi = np.empty((len(packed), 2), dtype=np.int16)
-    np.right_shift(pl, 16, out=pi[:, 0], casting="unsafe")
-    np.bitwise_and(pl, 0xFFFF, out=pi[:, 1], casting="unsafe")
-    return pf, pi
+    q = np.ascontiguousarray(packed[:, 0]).view(np.float32)
+    meta = packed[:, 1]
+    return q, meta >> 22, (meta >> 8) & 0x3FFF, meta & 0xFF
 
 
-def assemble(pf, pi, tables):
+def wiggle_for_events(counts, event_numbers, seed):
+    """U[0, 1) f64 TB wiggle per event from Philox(seed, event_number)
+    counter-based streams — independent of batching. Standalone copy of
+    detector.simulator.wiggle_for_events."""
+    out = np.empty(int(np.sum(counts)), np.float64)
+    pos = 0
+    for n, ev in zip(counts, event_numbers):
+        n = int(n)
+        if n:
+            gen = np.random.Generator(
+                np.random.Philox(key=[int(seed) & 0xFFFFFFFFFFFFFFFF, int(ev)])
+            )
+            out[pos : pos + n] = gen.random(n)
+            pos += n
+    return out
+
+
+def assemble(qf, tbf, pads, labs, tables):
     """Packed device rows -> Spyral [n, 8] f64 + labels i64.
+
+    qf: [n] f32 gained charge; tbf: [n] f64 WIGGLED tb; pads/labs: ints.
 
     Every pass over the ~590k-row batch costs real milliseconds on this
     one-core host (and steals cycles from the parent's tunnel pump), so the
     arithmetic is written column-into-place with minimal temporaries.
     """
-    pads = pi[:, 0].astype(np.int64)
-    labels = pi[:, 1].astype(np.int64)
+    pads = pads.astype(np.int64)
+    labels = labs.astype(np.int64)
     out = np.empty((len(pads), 8), dtype=np.float64)
     q = out[:, 3]  # scratch: holds q until overwritten by amp
-    np.copyto(q, pf[:, 0])
+    np.copyto(q, qf)
     tbs = out[:, 6]
-    np.copyto(tbs, pf[:, 1])
+    np.copyto(tbs, tbf)
     # integral via the sorted-response prefix trick (same arithmetic as
     # DetectorSimulator.assemble_spyral)
     thr = np.divide(4095.0, np.maximum(q, 1e-300))
@@ -202,14 +218,29 @@ class ChildWriter:
 
 
 def main() -> int:
+    import os
+    import time
+
     tables_path, directory, max_events, first_run, compression = sys.argv[1:6]
     tables = dict(np.load(tables_path))
     writer = ChildWriter(directory, int(max_events), int(first_run), compression)
     out = sys.stdout
+    timing = os.environ.get("ATTPC_CHILD_TIMING")
+    t_wait = t_copy = t_work = 0.0
+    n_batches = 0
+    t_mark = time.perf_counter()
     for line in sys.stdin:
+        t0 = time.perf_counter()
+        t_wait += t0 - t_mark
         msg = json.loads(line)
         if msg.get("close"):
             writer._finalize()
+            if timing:
+                print(
+                    f"[spyral-child] batches={n_batches} wait={t_wait:.2f}s "
+                    f"copy={t_copy:.2f}s work={t_work:.2f}s",
+                    file=sys.stderr,
+                )
             out.write("done\n")
             out.flush()
             return 0
@@ -221,7 +252,7 @@ def main() -> int:
             # take hundreds — acking early keeps the parent's tunnel loop
             # running
             packed = np.array(
-                np.ndarray((rows, 3), dtype=np.int32, buffer=shm.buf)
+                np.ndarray((rows, 2), dtype=np.int32, buffer=shm.buf)
             )
         finally:
             shm.close()
@@ -232,13 +263,23 @@ def main() -> int:
                 resource_tracker.unregister(shm._name, "shared_memory")
             except Exception:
                 pass
+        t1 = time.perf_counter()
+        t_copy += t1 - t0
         out.write(f"ok {msg['shm']}\n")
         out.flush()
-        spyral, labels = assemble(*split_packed(packed), tables)
         counts = msg["counts"]
         raw_counts = msg.get("raw_counts")
-        offsets = np.concatenate([[0], np.cumsum(counts)])
         start = msg["start"]
+        q, tbi, pad, lab = split_packed(packed)
+        # host-side TB wiggle (f64, per-event counter streams) + exact
+        # z ordering: the device pre-sorts by descending integer tb, the
+        # wiggle breaks the remaining same-tb ties exactly as the
+        # reference's z argsort over wiggled tbs (writer.py:236-238)
+        wig = wiggle_for_events(counts, np.arange(start, start + len(counts)),
+                                msg.get("wseed", 0))
+        tbf = tbi + wig
+        spyral, labels = assemble(q, tbf, pad, lab, tables)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
         for i, n in enumerate(counts):
             if n == 0:
                 # reference parity: raw-empty events are skipped, but events
@@ -250,7 +291,16 @@ def main() -> int:
                 writer.write_event(EMPTY_SPYRAL, EMPTY_LABELS, start + i)
                 continue
             lo, hi = int(offsets[i]), int(offsets[i + 1])
-            writer.write_event(spyral[lo:hi], labels[lo:hi], start + i)
+            if n > 1:
+                order = np.argsort(-tbf[lo:hi], kind="stable")
+                writer.write_event(
+                    spyral[lo:hi][order], labels[lo:hi][order], start + i
+                )
+            else:
+                writer.write_event(spyral[lo:hi], labels[lo:hi], start + i)
+        t_mark = time.perf_counter()
+        t_work += t_mark - t1
+        n_batches += 1
     # stdin closed without a close message (parent died): finalize anyway
     writer._finalize()
     return 0

@@ -109,10 +109,12 @@ def test_sharded_matches_single_device():
     c_single = np.asarray(out_single["spyral_counts"])
     c_sharded = np.asarray(out_sharded["spyral_counts"])
     np.testing.assert_array_equal(c_single, c_sharded)
-    pads_s = np.asarray(out_single["packed"][:, 2]) >> 16
-    pads_h = np.asarray(out_sharded["packed"][:, 2]) >> 16
-    int_s = np.asarray(out_single["packed"][:, 1]).view(np.float32)
-    int_h = np.asarray(out_sharded["packed"][:, 1]).view(np.float32)
+    meta_s = np.asarray(out_single["packed"][:, 1])
+    meta_h = np.asarray(out_sharded["packed"][:, 1])
+    pads_s = (meta_s >> 8) & 0x3FFF
+    pads_h = (meta_h >> 8) & 0x3FFF
+    int_s = np.ascontiguousarray(out_single["packed"][:, 0]).view(np.float32)
+    int_h = np.ascontiguousarray(out_sharded["packed"][:, 0]).view(np.float32)
     offsets = np.concatenate([[0], np.cumsum(c_single)])
     for e in range(8):
         lo, hi = offsets[e], offsets[e + 1]

@@ -95,47 +95,48 @@ def test_empty_event_datasets_reference_parity(tmp_path):
     )
     rng = np.random.default_rng(3)
     rows = 5
-    pf = np.stack(
-        [rng.uniform(1e4, 1e6, rows), rng.uniform(0, 511, rows)], axis=-1
-    ).astype(np.float32)
-    pi = np.stack(
-        [rng.integers(0, 10240, rows), np.full(rows, 2)], axis=-1
-    ).astype(np.int16)
+    q = rng.uniform(1e4, 1e6, rows).astype(np.float32)
+    tb = rng.integers(0, 512, rows).astype(np.int32)
+    pad = rng.integers(0, 10240, rows).astype(np.int32)
+    lab = np.full(rows, 2, np.int32)
     counts = np.array([2, 0, 0, 3])  # kept rows per event
     raw_counts = np.array([2, 7, 0, 3])  # event 1: all-below-threshold
     event_numbers = np.arange(4)
+    wseed = 77
 
     d_pool = tmp_path / "pool"
     d_proc = tmp_path / "proc"
     d_pool.mkdir()
     d_proc.mkdir()
 
-    from attpc_engine_tpu.detector.simulator import DetectorSimulator
+    from attpc_engine_tpu.detector.simulator import (
+        DetectorSimulator, split_packed,
+    )
+
+    # pack into the [rows, 2] i32 wire layout as _convert_to_spyral emits it
+    packed = np.empty((rows, 2), dtype=np.int32)
+    packed[:, 0] = q.view(np.int32)
+    packed[:, 1] = (tb << 22) | (pad << 8) | lab
+    q2, tb2, pad2, lab2 = split_packed(packed)
+    np.testing.assert_array_equal(q2, q)
+    np.testing.assert_array_equal(tb2, tb)
+    np.testing.assert_array_equal(pad2, pad)
+    np.testing.assert_array_equal(lab2, lab)
 
     w = SpyralWriter(d_pool, config)
     sim_tables = DetectorSimulator(
         config, np.array([1, 1, 1]), np.array([2, 2, 2]), indices=[2],
         engine=EngineParams(events_per_batch=4),
     )
-    spyral, labels = sim_tables.assemble_spyral(pf, pi)
+    spyral, labels = sim_tables.assemble_spyral_ordered(
+        packed, counts, event_numbers, wseed
+    )
     w.write_spyral_pool(spyral, labels, counts, event_numbers, raw_counts)
     w.close()
 
-    # pack (pf, pi) into the [rows, 3] i32 wire layout (the inverse of
-    # simulator.split_packed) as _convert_to_spyral emits it
-    packed = np.empty((rows, 3), dtype=np.int32)
-    packed[:, :2] = pf.view(np.int32)
-    packed[:, 2] = (pi[:, 0].astype(np.int32) << 16) | (
-        pi[:, 1].astype(np.int32) & 0xFFFF
-    )
-    from attpc_engine_tpu.detector.simulator import split_packed
-
-    pf2, pi2 = split_packed(packed)
-    np.testing.assert_array_equal(pf2, pf)
-    np.testing.assert_array_equal(pi2, pi)
-
     wp = SpyralWriterProc(d_proc, config)
-    wp.write_packed(packed, counts, event_numbers, raw_counts=raw_counts)
+    wp.write_packed(packed, counts, event_numbers, raw_counts=raw_counts,
+                    wiggle_seed=wseed)
     wp.close()
 
     for d in (d_pool, d_proc):
