@@ -477,15 +477,19 @@ class DetectorSimulator:
         q, tb, pad, lab = split_packed(packed)
         w = wiggle_for_events(counts, event_numbers, wiggle_seed)
         tbs = tb + w
-        spyral, labels = self.assemble_spyral(q, tbs, pad, lab)
+        # reorder the narrow input columns, then assemble: identical values
+        # (assembly is row-elementwise), ~20 bytes/row moved instead of the
+        # assembled 72-byte f64 rows. Kept in sync with io/spyral_child.py.
         offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
         for i in range(len(counts)):
             lo, hi = offsets[i], offsets[i + 1]
             if hi - lo > 1:
                 order = np.argsort(-tbs[lo:hi], kind="stable")
-                spyral[lo:hi] = spyral[lo:hi][order]
-                labels[lo:hi] = labels[lo:hi][order]
-        return spyral, labels
+                q[lo:hi] = q[lo:hi][order]
+                tbs[lo:hi] = tbs[lo:hi][order]
+                pad[lo:hi] = pad[lo:hi][order]
+                lab[lo:hi] = lab[lo:hi][order]
+        return self.assemble_spyral(q, tbs, pad, lab)
 
     def _convert_to_spyral(self, cloud, out_budget: int, e: int, window: int):
         """Batched Spyral conversion + ADC threshold + z-sort (reference
