@@ -95,9 +95,12 @@ def wiggle_for_events(
     for n, ev in zip(counts, event_numbers):
         n = int(n)
         if n:
-            gen = np.random.Generator(
-                np.random.Philox(key=[int(seed) & 0xFFFFFFFFFFFFFFFF, int(ev)])
+            # key as an explicit uint64 array: a plain list would round
+            # seeds >= 2**63 through float64 inside numpy's key conversion
+            key = np.array(
+                [int(seed) & 0xFFFFFFFFFFFFFFFF, int(ev)], dtype=np.uint64
             )
+            gen = np.random.Generator(np.random.Philox(key=key))
             out[pos : pos + n] = gen.random(n)
             pos += n
     return out
@@ -474,6 +477,20 @@ class DetectorSimulator:
         (wiggle_for_events) and each event's rows are reordered by
         ascending z = descending wiggled tb. Returns the pooled
         (spyral [n, 8] f64, labels [n] i64) in event order."""
+        ev = np.asarray(event_numbers)
+        if len(ev) and np.array_equal(ev, np.arange(ev[0], ev[0] + len(ev))):
+            # native C pipeline (wiggle + sort + assemble in one pass),
+            # bit-exact to the numpy path below (tests/test_native.py);
+            # restricted to contiguous event ranges (the production driver
+            # always passes arange) because the C wiggle keys on
+            # start_event + i
+            from ..native import native_assemble_batch
+
+            res = native_assemble_batch(
+                packed, counts, int(ev[0]), wiggle_seed, self._native_tables()
+            )
+            if res is not None:
+                return res
         q, tb, pad, lab = split_packed(packed)
         w = wiggle_for_events(counts, event_numbers, wiggle_seed)
         tbs = tb + w
@@ -490,6 +507,29 @@ class DetectorSimulator:
                 pad[lo:hi] = pad[lo:hi][order]
                 lab[lo:hi] = lab[lo:hi][order]
         return self.assemble_spyral(q, tbs, pad, lab)
+
+    def _native_tables(self) -> dict:
+        """Contiguous f64 lookup tables for the native (C) Spyral
+        assembler, derived once from the captured config."""
+        t = getattr(self, "_nat_tables", None)
+        if t is None:
+            cfg = self.config
+            pc = np.asarray(cfg.pad_centers, dtype=np.float64)
+            t = {
+                "pad_cx": np.ascontiguousarray(pc[:, 0]),
+                "pad_cy": np.ascontiguousarray(pc[:, 1]),
+                "pad_sizes": np.ascontiguousarray(
+                    np.asarray(cfg.pad_sizes, dtype=np.float64)
+                ),
+                "resp_asc": np.ascontiguousarray(self._resp_asc_f64),
+                "resp_prefix": np.ascontiguousarray(self._resp_prefix_f64),
+                "resp_max": self._resp_max,
+                "windows_edge": float(cfg.elec_params.windows_edge),
+                "micromegas_edge": float(cfg.elec_params.micromegas_edge),
+                "length": float(cfg.det_params.length),
+            }
+            self._nat_tables = t
+        return t
 
     def _convert_to_spyral(self, cloud, out_budget: int, e: int, window: int):
         """Batched Spyral conversion + ADC threshold + z-sort (reference

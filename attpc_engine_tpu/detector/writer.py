@@ -279,6 +279,19 @@ class SpyralWriterProc:
         )
         self._tables_file.close()
         child = Path(__file__).resolve().parent.parent / "io" / "spyral_child.py"
+        # build (once) + advertise the native assembly/HDF5 library to the
+        # child; it falls back to numpy+h5py when the env vars are absent
+        import os
+
+        env = os.environ.copy()
+        from ..native import get_spyral_io_lib, hdf5_bundle
+
+        if get_spyral_io_lib(with_h5=True) is not None:
+            so = Path(__file__).resolve().parent.parent / "native" / "libspyral_io.so"
+            h5path, _ = hdf5_bundle()
+            if so.exists() and h5path:
+                env["ATTPC_SIO_LIB"] = str(so)
+                env["ATTPC_SIO_HDF5"] = h5path
         self._proc = subprocess.Popen(
             [
                 sys.executable,
@@ -292,8 +305,10 @@ class SpyralWriterProc:
             stdin=subprocess.PIPE,
             stdout=subprocess.PIPE,
             text=True,
+            env=env,
         )
         self._outstanding: list = []
+        self._free: list = []
         self._max_outstanding = max_outstanding
         self._closed = False
         # a parent crash must not leak owned /dev/shm segments: unlink any
@@ -301,15 +316,17 @@ class SpyralWriterProc:
         import atexit
 
         outstanding = self._outstanding
+        free = self._free
 
-        def _cleanup(segs=outstanding):
-            for shm in segs:
-                try:
-                    shm.close()
-                    shm.unlink()
-                except Exception:
-                    pass
-            segs.clear()
+        def _cleanup(pools=(outstanding, free)):
+            for segs in pools:
+                for shm in segs:
+                    try:
+                        shm.close()
+                        shm.unlink()
+                    except Exception:
+                        pass
+                segs.clear()
 
         self._atexit_cleanup = _cleanup
         atexit.register(_cleanup)
@@ -323,8 +340,10 @@ class SpyralWriterProc:
         name = line.split()[1]
         for i, shm in enumerate(self._outstanding):
             if shm.name == name:
-                shm.close()
-                shm.unlink()
+                # acked segments return to the reuse pool: a fresh
+                # SharedMemory per batch costs ~50 ms/batch in page faults
+                # on first touch (both sides), measured on this host
+                self._free.append(shm)
                 del self._outstanding[i]
                 return
         raise RuntimeError(f"child acked unknown shm {name!r}")
@@ -372,7 +391,18 @@ class SpyralWriterProc:
         if rows == 0 and (raw_counts is None or int(np.sum(raw_counts)) == 0):
             # nothing to assemble and no empty events to record
             return
-        shm = shared_memory.SharedMemory(create=True, size=max(rows * 8, 1))
+        need = max(rows * 8, 1)
+        shm = None
+        for i, seg in enumerate(self._free):
+            if seg.size >= need:
+                shm = seg
+                del self._free[i]
+                break
+        if shm is None:
+            # size rounded up so later (slightly larger) batches still fit
+            # the pooled segment
+            alloc = (need + (1 << 21) - 1) >> 21 << 21
+            shm = shared_memory.SharedMemory(create=True, size=alloc)
         if rows:
             np.ndarray((rows, 2), dtype=np.int32, buffer=shm.buf)[:] = packed
         self._t_shm = getattr(self, "_t_shm", 0.0) + (time.perf_counter() - t1)

@@ -1,11 +1,16 @@
 """Standalone Spyral HDF5 writer child process.
 
 Run as ``python .../spyral_child.py <tables.npz> <directory> <max_events>
-<first_run> <compression|->``. DELIBERATELY imports only numpy/h5py (no
-jax, no package imports): the parent process talks to a tunneled TPU whose
-Python client is GIL-sensitive — measured: a GIL-holding sibling thread
-throttles device pulls to a crawl — so all host-side assembly + HDF5 work
-lives in this separate OS process, fed via POSIX shared memory.
+<first_run> <compression|->``. DELIBERATELY imports no package modules and
+no jax (the parent process talks to a tunneled TPU whose Python client is
+GIL-sensitive — measured: a GIL-holding sibling thread throttles device
+pulls to a crawl — so all host-side assembly + HDF5 work lives in this
+separate OS process, fed via POSIX shared memory). When the parent
+advertises the native library via ATTPC_SIO_LIB/ATTPC_SIO_HDF5 the whole
+per-batch pipeline (Philox TB wiggle + per-event z-sort + f64 Spyral
+assembly + per-event HDF5 dataset writes) runs in C (native/spyral_io.cpp,
+bit-exact to the numpy+h5py fallback below); h5py is only imported on the
+fallback/compression path.
 
 Protocol (stdin, one JSON object per line):
   {"shm": name, "rows": N, "counts": [...], "start": first_event_number}
@@ -21,15 +26,79 @@ by tests/test_writer_proc.py, which checks byte-identical output against
 the in-process writer.
 """
 
+import ctypes
+import glob
 import json
+import os
 import sys
 from multiprocessing import resource_tracker, shared_memory
 
-import h5py
 import numpy as np
 
 EMPTY_SPYRAL = np.empty((0, 8), dtype=np.float64)
 EMPTY_LABELS = np.empty((0,), dtype=np.int64)
+
+_DPTR = ctypes.POINTER(ctypes.c_double)
+_I64PTR = ctypes.POINTER(ctypes.c_int64)
+_I32PTR = ctypes.POINTER(ctypes.c_int32)
+
+
+def load_native():
+    """libspyral_io (native wiggle+sort+assemble + libhdf5 writer) or None.
+
+    The parent (SpyralWriterProc) builds the library and passes its path
+    plus h5py's bundled libhdf5 via ATTPC_SIO_LIB / ATTPC_SIO_HDF5; this
+    child deliberately imports no package modules (a package import would
+    drag in jax), so the ctypes setup is duplicated here — kept in sync
+    with attpc_engine_tpu.native.configure_spyral_io by
+    tests/test_native.py and tests/test_writer_proc.py.
+    """
+    if os.environ.get("ATTPC_TPU_NO_NATIVE"):
+        return None
+    so = os.environ.get("ATTPC_SIO_LIB")
+    h5 = os.environ.get("ATTPC_SIO_HDF5")
+    if not so or not h5 or not os.path.exists(so) or not os.path.exists(h5):
+        return None
+    try:
+        lib = ctypes.CDLL(so)
+        # h5py's repaired libhdf5 has no RPATH for its private deps
+        for dep in sorted(glob.glob(os.path.join(os.path.dirname(h5), "*.so*"))):
+            if "hdf5" not in os.path.basename(dep):
+                ctypes.CDLL(dep, mode=ctypes.RTLD_GLOBAL)
+        lib.sio_wiggle.argtypes = [
+            ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int64, _DPTR
+        ]
+        lib.sio_wiggle.restype = None
+        lib.sio_assemble_batch.argtypes = [
+            _I32PTR, ctypes.c_int64, _I64PTR, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_uint64, _DPTR, _DPTR, _DPTR, _DPTR, _DPTR,
+            ctypes.c_int64, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, _DPTR, _I64PTR,
+        ]
+        lib.sio_assemble_batch.restype = None
+        lib.sio_h5_init.argtypes = [ctypes.c_char_p]
+        lib.sio_h5_init.restype = ctypes.c_int
+        lib.sio_h5_open.argtypes = [ctypes.c_char_p]
+        lib.sio_h5_open.restype = ctypes.c_void_p
+        lib.sio_h5_write_event.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, _DPTR,
+            ctypes.c_int64, _I64PTR,
+        ]
+        lib.sio_h5_write_event.restype = ctypes.c_int
+        lib.sio_h5_write_events.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, _I64PTR,
+            _I64PTR, ctypes.c_int64, _DPTR, _I64PTR,
+        ]
+        lib.sio_h5_write_events.restype = ctypes.c_int64
+        lib.sio_h5_close.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64
+        ]
+        lib.sio_h5_close.restype = ctypes.c_int
+        if lib.sio_h5_init(h5.encode()) != 0:
+            return None
+        return lib
+    except OSError:
+        return None
 
 
 def split_packed(packed):
@@ -53,9 +122,12 @@ def wiggle_for_events(counts, event_numbers, seed):
     for n, ev in zip(counts, event_numbers):
         n = int(n)
         if n:
-            gen = np.random.Generator(
-                np.random.Philox(key=[int(seed) & 0xFFFFFFFFFFFFFFFF, int(ev)])
+            # key as an explicit uint64 array: a plain list would round
+            # seeds >= 2**63 through float64 inside numpy's key conversion
+            key = np.array(
+                [int(seed) & 0xFFFFFFFFFFFFFFFF, int(ev)], dtype=np.uint64
             )
+            gen = np.random.Generator(np.random.Philox(key=key))
             out[pos : pos + n] = gen.random(n)
             pos += n
     return out
@@ -120,7 +192,8 @@ class ChildWriter:
     tests/test_writer_proc.py against the in-process SpyralWriter).
     """
 
-    def __init__(self, directory, max_events, first_run, compression):
+    def __init__(self, directory, max_events, first_run, compression,
+                 native=None):
         self.directory = directory
         self.max_events = max_events
         self.run_number = first_run
@@ -132,64 +205,133 @@ class ChildWriter:
             self.kwargs = {"compression": "gzip", "compression_opts": 1}
         elif compression and compression != "-":
             self.kwargs = {"compression": compression}
+        # native (libspyral_io/libhdf5 C API) writer: uncompressed only —
+        # the compression path keeps h5py's filter pipeline
+        self._native = native if not self.kwargs else None
         self._fast = not self.kwargs
-        # cached HDF5 objects for the low-level path (file-format types,
-        # little-endian, exactly what h5py's high-level path would emit)
-        self._t_f64 = h5py.h5t.IEEE_F64LE
-        self._t_i64 = h5py.h5t.STD_I64LE
-        self._s_scalar = h5py.h5s.create(h5py.h5s.SCALAR)
-        self._a_i64 = np.empty((), dtype=np.int64)
-        self._a_f64 = np.empty((), dtype=np.float64)
-        self._ic_names = (
-            b"ic_amplitude", b"ic_multiplicity", b"ic_integral", b"ic_centroid"
-        )
+        if self._native is None:
+            import h5py
+
+            self._h5py = h5py
+            # cached HDF5 objects for the low-level path (file-format
+            # types, little-endian, exactly what h5py's high-level path
+            # would emit)
+            self._t_f64 = h5py.h5t.IEEE_F64LE
+            self._t_i64 = h5py.h5t.STD_I64LE
+            self._s_scalar = h5py.h5s.create(h5py.h5s.SCALAR)
+            self._a_i64 = np.empty((), dtype=np.int64)
+            self._a_f64 = np.empty((), dtype=np.float64)
+            self._ic_names = (
+                b"ic_amplitude", b"ic_multiplicity", b"ic_integral",
+                b"ic_centroid",
+            )
         self._open()
 
     def _open(self):
-        self.file = h5py.File(
-            f"{self.directory}/run_{self.run_number:04d}.h5", "w"
-        )
+        path = f"{self.directory}/run_{self.run_number:04d}.h5"
+        if self._native is not None:
+            self._fid = self._native.sio_h5_open(path.encode())
+            if not self._fid:
+                raise RuntimeError(f"native HDF5 writer failed to open {path}")
+            return
+        self.file = self._h5py.File(path, "w")
         self.group = self.file.create_group("cloud")
         self._gid = self.group.id
 
     def _finalize(self):
+        if self._native is not None:
+            rc = self._native.sio_h5_close(
+                self._fid, self.starting_event, self.last_event
+            )
+            if rc != 0:
+                raise RuntimeError(f"native HDF5 close failed (rc={rc})")
+            return
         self.group.attrs["min_event"] = self.starting_event
         self.group.attrs["max_event"] = self.last_event
         self.file.close()
 
     def _attr_i64(self, oid, name: bytes, value: int):
-        aid = h5py.h5a.create(oid, name, self._t_i64, self._s_scalar)
+        aid = self._h5py.h5a.create(oid, name, self._t_i64, self._s_scalar)
         self._a_i64[()] = value
         aid.write(self._a_i64)
         aid.close()
 
     def _attr_f64(self, oid, name: bytes, value: float):
-        aid = h5py.h5a.create(oid, name, self._t_f64, self._s_scalar)
+        aid = self._h5py.h5a.create(oid, name, self._t_f64, self._s_scalar)
         self._a_f64[()] = value
         aid.write(self._a_f64)
         aid.close()
 
     def _write_event_fast(self, spyral, labels, event_number):
         """Low-level twin of write_event (uncompressed, contiguous)."""
+        h5s, h5d = self._h5py.h5s, self._h5py.h5d
         gid = self._gid
-        space = h5py.h5s.create_simple(spyral.shape)
-        did = h5py.h5d.create(
+        space = h5s.create_simple(spyral.shape)
+        did = h5d.create(
             gid, b"cloud_%d" % event_number, self._t_f64, space
         )
         if spyral.size:
-            did.write(h5py.h5s.ALL, h5py.h5s.ALL, spyral)
+            did.write(h5s.ALL, h5s.ALL, spyral)
         self._attr_i64(did, b"orig_run", self.run_number)
         self._attr_i64(did, b"orig_event", event_number)
         for nm in self._ic_names:
             self._attr_f64(did, nm, -1.0)
         did.close()
-        space = h5py.h5s.create_simple(labels.shape)
-        did = h5py.h5d.create(
+        space = h5s.create_simple(labels.shape)
+        did = h5d.create(
             gid, b"labels_%d" % event_number, self._t_i64, space
         )
         if labels.size:
-            did.write(h5py.h5s.ALL, h5py.h5s.ALL, labels)
+            did.write(h5s.ALL, h5s.ALL, labels)
         did.close()
+
+    def write_batch_native(self, spyral, labels, counts, raw_counts, start):
+        """Bulk-write one batch through C (sio_h5_write_events), splitting
+        at file-rotation boundaries — same semantics as the per-event
+        write_event loop in main(): events whose raw batch was empty are
+        skipped; all-below-ADC-threshold events get EMPTY datasets and
+        count toward rotation."""
+        lib = self._native
+        n = len(counts)
+        counts = np.ascontiguousarray(counts, dtype=np.int64)
+        raws = (
+            None
+            if raw_counts is None
+            else np.ascontiguousarray(raw_counts, dtype=np.int64)
+        )
+        written = counts > 0
+        if raws is not None:
+            written |= raws > 0
+        row_off = np.concatenate([[0], np.cumsum(counts)])
+        i = 0
+        while i < n:
+            w_rest = written[i:]
+            if not w_rest.any():
+                break
+            k = i + int(np.argmax(w_rest))  # next event that gets written
+            if self.events_written == self.max_events:
+                self._finalize()
+                self.run_number += 1
+                self._open()
+                self.starting_event = start + k
+                self.events_written = 0
+            cap = self.max_events - self.events_written
+            wcum = np.cumsum(written[k:])
+            j = k + int(np.searchsorted(wcum, cap, side="right"))
+            lo, hi = int(row_off[k]), int(row_off[j])
+            rc = lib.sio_h5_write_events(
+                self._fid, self.run_number, start + k,
+                counts[k:j].ctypes.data_as(_I64PTR),
+                None if raws is None else raws[k:j].ctypes.data_as(_I64PTR),
+                j - k,
+                spyral[lo:hi].ctypes.data_as(_DPTR) if hi > lo else None,
+                labels[lo:hi].ctypes.data_as(_I64PTR) if hi > lo else None,
+            )
+            if rc < 0:
+                raise RuntimeError(f"native HDF5 bulk write failed (rc={rc})")
+            self.events_written += int(rc)
+            self.last_event = start + k + int(np.where(written[k:j])[0][-1])
+            i = j
 
     def write_event(self, spyral, labels, event_number):
         if self.events_written == self.max_events:
@@ -198,7 +340,18 @@ class ChildWriter:
             self._open()
             self.starting_event = event_number
             self.events_written = 0
-        if self._fast:
+        if self._native is not None:
+            n = len(spyral)
+            rc = self._native.sio_h5_write_event(
+                self._fid, self.run_number, event_number,
+                spyral.ctypes.data_as(_DPTR) if n else None, n,
+                labels.ctypes.data_as(_I64PTR) if n else None,
+            )
+            if rc != 0:
+                raise RuntimeError(
+                    f"native HDF5 write failed (rc={rc}, event={event_number})"
+                )
+        elif self._fast:
             self._write_event_fast(spyral, labels, event_number)
         else:
             d = self.group.create_dataset(
@@ -222,43 +375,74 @@ def main() -> int:
     import time
 
     tables_path, directory, max_events, first_run, compression = sys.argv[1:6]
+    if os.environ.get("ATTPC_CHILD_TIMING"):
+        print(f"[spyral-child] main() at {time.time():.3f}", file=sys.stderr)
     tables = dict(np.load(tables_path))
-    writer = ChildWriter(directory, int(max_events), int(first_run), compression)
+    writer = ChildWriter(directory, int(max_events), int(first_run),
+                         compression, native=load_native())
+    native = writer._native
+    if native is not None:
+        # contiguous f64 views the C assembler indexes directly
+        nat = {
+            "pad_cx": np.ascontiguousarray(tables["pad_centers"][:, 0]),
+            "pad_cy": np.ascontiguousarray(tables["pad_centers"][:, 1]),
+            "pad_sizes": np.ascontiguousarray(tables["pad_sizes"]),
+            "resp_asc": np.ascontiguousarray(tables["resp_asc"]),
+            "resp_prefix": np.ascontiguousarray(tables["resp_prefix"]),
+        }
+        nat_scalars = (
+            len(nat["resp_asc"]), float(tables["resp_max"]),
+            float(tables["windows_edge"]), float(tables["micromegas_edge"]),
+            float(tables["length"]),
+        )
     out = sys.stdout
     timing = os.environ.get("ATTPC_CHILD_TIMING")
     t_wait = t_copy = t_work = 0.0
     t_wig = t_asm = t_sw = 0.0
     n_batches = 0
+    # the parent reuses a pool of segments (a fresh one per batch costs
+    # ~50 ms in first-touch page faults); keep attachments open by name
+    segs: dict = {}
+    # persistent assembly output buffers (native path): refreshing ~40 MB
+    # of np.empty per batch would re-fault the pages every time
+    asm_buf: list = [None, None]
+
+    def _close_segs():
+        for s in segs.values():
+            try:
+                s.close()
+            except Exception:
+                pass
+        segs.clear()
+
     t_mark = time.perf_counter()
     for line in sys.stdin:
         t0 = time.perf_counter()
         t_wait += t0 - t_mark
         msg = json.loads(line)
         if msg.get("close"):
+            _close_segs()
             writer._finalize()
             if timing:
+                import resource
+
+                ru = resource.getrusage(resource.RUSAGE_SELF)
                 print(
                     f"[spyral-child] batches={n_batches} wait={t_wait:.2f}s "
                     f"copy={t_copy:.2f}s work={t_work:.2f}s "
                     f"(wiggle={t_wig:.2f} assemble={t_asm:.2f} "
-                    f"sort+write={t_sw:.2f})",
+                    f"sort+write={t_sw:.2f}) "
+                    f"cpu={ru.ru_utime + ru.ru_stime:.2f}s",
                     file=sys.stderr,
                 )
             out.write("done\n")
             out.flush()
             return 0
         rows = msg["rows"]
-        shm = shared_memory.SharedMemory(name=msg["shm"])
-        try:
-            # copy out and ack IMMEDIATELY: the parent blocks on this ack
-            # for backpressure, and the copy is ~10 ms while assemble+write
-            # take hundreds — acking early keeps the parent's tunnel loop
-            # running
-            packed = np.array(
-                np.ndarray((rows, 2), dtype=np.int32, buffer=shm.buf)
-            )
-        finally:
-            shm.close()
+        shm = segs.get(msg["shm"])
+        if shm is None:
+            shm = shared_memory.SharedMemory(name=msg["shm"])
+            segs[msg["shm"]] = shm
             # Python 3.12's tracker registers ATTACHED segments too and
             # warns at exit when the parent (the owner) has unlinked them;
             # this child never owns a segment, so drop the registration
@@ -266,26 +450,73 @@ def main() -> int:
                 resource_tracker.unregister(shm._name, "shared_memory")
             except Exception:
                 pass
+        counts = msg["counts"]
+        raw_counts = msg.get("raw_counts")
+        start = msg["start"]
+        if native is not None:
+            # zero-copy: the C assembler reads packed rows straight from
+            # the shared segment into persistent (page-warm) output
+            # buffers, then the segment is acked back to the parent's
+            # reuse pool — one C call covers wiggle + z-sort + assembly
+            # (bit-exact twin of the numpy path below, tests/test_native.py)
+            packed_view = np.ndarray((rows, 2), dtype=np.int32, buffer=shm.buf)
+            c64 = np.ascontiguousarray(counts, dtype=np.int64)
+            if asm_buf[0] is None or len(asm_buf[0]) < rows:
+                cap = max(rows, 1 << 16)
+                asm_buf[0] = np.empty((cap, 8), dtype=np.float64)
+                asm_buf[1] = np.empty(cap, dtype=np.int64)
+            spyral, labels = asm_buf[0], asm_buf[1]
+            native.sio_assemble_batch(
+                packed_view.ctypes.data_as(_I32PTR), rows,
+                c64.ctypes.data_as(_I64PTR), len(c64), start,
+                int(msg.get("wseed", 0)) & 0xFFFFFFFFFFFFFFFF,
+                nat["pad_cx"].ctypes.data_as(_DPTR),
+                nat["pad_cy"].ctypes.data_as(_DPTR),
+                nat["pad_sizes"].ctypes.data_as(_DPTR),
+                nat["resp_asc"].ctypes.data_as(_DPTR),
+                nat["resp_prefix"].ctypes.data_as(_DPTR),
+                *nat_scalars,
+                spyral.ctypes.data_as(_DPTR),
+                labels.ctypes.data_as(_I64PTR),
+            )
+            t1 = time.perf_counter()
+            t_asm += t1 - t0
+            out.write(f"ok {msg['shm']}\n")
+            out.flush()
+            writer.write_batch_native(spyral, labels, counts, raw_counts,
+                                      start)
+            t_mark = time.perf_counter()
+            t_sw += t_mark - t1
+            t_work += t_mark - t0
+            n_batches += 1
+            continue
+        # ---- pure-Python fallback path ---------------------------------
+        # copy out and ack IMMEDIATELY: the parent blocks on this ack
+        # for backpressure, and the copy is ~10 ms while assemble+write
+        # take hundreds — acking early keeps the parent's tunnel loop
+        # running
+        packed = np.array(
+            np.ndarray((rows, 2), dtype=np.int32, buffer=shm.buf)
+        )
         t1 = time.perf_counter()
         t_copy += t1 - t0
         out.write(f"ok {msg['shm']}\n")
         out.flush()
-        counts = msg["counts"]
-        raw_counts = msg.get("raw_counts")
-        start = msg["start"]
         ta = time.perf_counter()
+        offsets = np.concatenate([[0], np.cumsum(counts)])
         q, tbi, pad, lab = split_packed(packed)
         # host-side TB wiggle (f64, per-event counter streams) + exact
         # z ordering: the device pre-sorts by descending integer tb, the
         # wiggle breaks the remaining same-tb ties exactly as the
         # reference's z argsort over wiggled tbs (writer.py:236-238)
-        wig = wiggle_for_events(counts, np.arange(start, start + len(counts)),
-                                msg.get("wseed", 0))
+        wig = wiggle_for_events(
+            counts, np.arange(start, start + len(counts)),
+            msg.get("wseed", 0),
+        )
         tbf = tbi + wig
         # per-event exact z order (descending wiggled tb) applied to the
         # four NARROW input columns before assembly — ~20 bytes/row moved
         # instead of gathering the assembled 72-byte f64 rows
-        offsets = np.concatenate([[0], np.cumsum(counts)])
         for i, n in enumerate(counts):
             if n > 1:
                 lo, hi = int(offsets[i]), int(offsets[i + 1])
@@ -314,6 +545,7 @@ def main() -> int:
         t_work += t_mark - t1
         n_batches += 1
     # stdin closed without a close message (parent died): finalize anyway
+    _close_segs()
     writer._finalize()
     return 0
 

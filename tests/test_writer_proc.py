@@ -150,3 +150,71 @@ def test_empty_event_datasets_reference_parity(tmp_path):
             assert "cloud_2" not in g
             assert g["cloud_0"].shape == (2, 8)
             assert g["cloud_3"].shape == (3, 8)
+
+
+def test_writer_native_vs_python_identical(tmp_path):
+    """The native (C) assembly+HDF5 pipeline and the numpy+h5py fallback
+    must produce value-identical files, through the full simulation."""
+    pipeline = KinematicsPipeline(
+        [
+            Reaction(
+                target=nuclear_map.get_data(1, 2),
+                projectile=nuclear_map.get_data(6, 12),
+                ejectile=nuclear_map.get_data(1, 1),
+            )
+        ],
+        [ExcitationGaussian(0.0, 0.0)],
+        [PolarUniform(0.0, np.pi)],
+        120.0,
+    )
+    kine = tmp_path / "k.h5"
+    run_kinematics_pipeline(pipeline, 6, kine, batch_size=6, seed=77,
+                            show_progress=False)
+    config = Config(
+        DetectorParams(1.0, 45000.0, 2.85, 175000, gas, 0.277, 0.2, 34.0),
+        ElectronicsParams(6.25, 900, 1000, 10, 560, 40),
+        PadParams(),
+    )
+    engine = EngineParams(
+        n_time_steps=1000, chunk_steps=250, point_budget=2048,
+        out_budget=8192, events_per_batch=3,
+    )
+    import attpc_engine_tpu.native as native_mod
+
+    if native_mod.get_spyral_io_lib(with_h5=True) is None:
+        import pytest
+
+        pytest.skip("libspyral_io unavailable")
+
+    d_nat = tmp_path / "nat"
+    d_py = tmp_path / "py"
+    d_nat.mkdir()
+    d_py.mkdir()
+    run_simulation(config, kine, SpyralWriterProc(d_nat, config),
+                   engine=engine, seed=5, show_progress=False)
+    # force the pure-Python child + in-process paths
+    saved = native_mod._SIO, native_mod._SIO_TRIED
+    import os
+
+    os.environ["ATTPC_TPU_NO_NATIVE"] = "1"
+    native_mod._SIO, native_mod._SIO_TRIED = None, True
+    try:
+        run_simulation(config, kine, SpyralWriterProc(d_py, config),
+                       engine=engine, seed=5, show_progress=False)
+    finally:
+        native_mod._SIO, native_mod._SIO_TRIED = saved
+        del os.environ["ATTPC_TPU_NO_NATIVE"]
+
+    fa = sorted(glob.glob(str(d_nat / "run_*.h5")))
+    fb = sorted(glob.glob(str(d_py / "run_*.h5")))
+    assert [f.split("/")[-1] for f in fa] == [f.split("/")[-1] for f in fb]
+    for pa, pb in zip(fa, fb):
+        with h5py.File(pa) as a, h5py.File(pb) as b:
+            ga, gb = a["cloud"], b["cloud"]
+            assert set(ga.keys()) == set(gb.keys()) and len(ga.keys())
+            assert dict(ga.attrs) == dict(gb.attrs)
+            for k in ga.keys():
+                np.testing.assert_array_equal(
+                    np.asarray(ga[k]), np.asarray(gb[k]), err_msg=k
+                )
+                assert dict(ga[k].attrs) == dict(gb[k].attrs), k
