@@ -489,6 +489,12 @@ def main() -> int:
             t_sw += t_mark - t1
             t_work += t_mark - t0
             n_batches += 1
+            if timing == "batch":
+                print(
+                    f"[spyral-child] b{n_batches} rows={rows} "
+                    f"asm={t1 - t0:.3f}s write={t_mark - t1:.3f}s",
+                    file=sys.stderr,
+                )
             continue
         # ---- pure-Python fallback path ---------------------------------
         # copy out and ack IMMEDIATELY: the parent blocks on this ack

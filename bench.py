@@ -153,12 +153,15 @@ def main() -> None:
 
     # ---- timed end-to-end run ------------------------------------------ #
     t1 = time.perf_counter()
+    # spawn the writer child first: its interpreter/numpy boot (~2-5 s on
+    # this VM's cold-cache disk) overlaps the kinematics stage's device
+    # work instead of serializing before the first detector batch
+    writer = SpyralWriterProc(cloud_dir, config, first_run_number=100)
     run_kinematics_pipeline(
         pipeline, n_events, kine_path, batch_size=kine_batch, seed=1,
         show_progress=False,
     )
     t2 = time.perf_counter()
-    writer = SpyralWriterProc(cloud_dir, config, first_run_number=100)
     run_simulation(config, kine_path, writer, engine=engine, seed=1,
                    show_progress=False)
     t3 = time.perf_counter()

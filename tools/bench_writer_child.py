@@ -4,7 +4,7 @@ Pumps synthetic packed batches (the exact wire format run_simulation ships)
 through a real writer child process and reports events/s of the writer
 path alone — no TPU, no tunnel, so A/B runs of child variants are
 reproducible. Knobs: WB_EVENTS (default 10000), WB_BATCH (384), WB_ROWS
-(mean rows/event, 1450), WB_OUTDIR (default /dev/shm).
+(mean rows/event, 3000 — the measured 12C(d,p) bench multiplicity), WB_OUTDIR (default /dev/shm).
 
 Usage: python tools/bench_writer_child.py
        ATTPC_TPU_NO_NATIVE=1 python tools/bench_writer_child.py  # fallback
@@ -26,7 +26,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 def main() -> None:
     n_events = int(os.environ.get("WB_EVENTS", 10_000))
     batch = int(os.environ.get("WB_BATCH", 384))
-    mean_rows = int(os.environ.get("WB_ROWS", 1450))
+    mean_rows = int(os.environ.get("WB_ROWS", 3000))
     outdir = Path(os.environ.get("WB_OUTDIR", "/dev/shm")) / "wb_clouds"
     shutil.rmtree(outdir, ignore_errors=True)
     outdir.mkdir(parents=True)
