@@ -561,25 +561,31 @@ class DetectorSimulator:
         # per-row sort: kept rows first, descending integer tb (= ascending
         # z up to same-tb ties; the host writer draws the f64 TB wiggle and
         # finalizes the exact z order per event — simulator.py:108 +
-        # writer.py:236-238 semantics). tb (9 bits), pad (14 bits) and
-        # label (8 bits) pack into one int32 payload, so the sort carries
-        # 3 operands and the wire needs only 8 bytes/row.
-        rowkey = jnp.where(keep, -tbs_i, jnp.int32(2**30)).reshape(e, w)
-        meta = jnp.where(
-            keep,
-            (tbs_i << 22) | (cloud["pads"] << 8) | cloud["labels"],
-            0,
+        # writer.py:236-238 semantics). The ENTIRE row packs into one i64
+        # lane — [63] keep, [62:54] 511-tb, [53:40] pad, [39:32] label,
+        # [31:0] f32 charge bits — so the sort is single-operand (8 B/lane
+        # vs 12: 17.2 -> 7.0 ms at [384, 12288], measured,
+        # tools/microbench_sort_pack.py): ascending signed i64 puts kept
+        # rows first (bit 63 set -> negative) in descending-tb order.
+        # Unstable tie order among equal tb is fine: the reference's own
+        # z-ordering is an unstable np.argsort (writer.py:236-238) and
+        # same-tb ties are reordered by the host's wiggle sort anyway.
+        i64 = jnp.int64
+        qbits_u = jax.lax.bitcast_convert_type(q, jnp.int32).astype(
+            jnp.uint32
         )
-        # unstable: the reference's own z-ordering is an unstable np.argsort
-        # (writer.py:236-238) and same-tb ties are reordered by the host's
-        # wiggle sort anyway; dropping stability cuts the sort's iota
-        # tiebreaker operand
-        rk, q_s, m_s = jax.lax.sort(
-            (rowkey, q.reshape(e, w), meta.reshape(e, w)),
-            dimension=1,
-            is_stable=False,
-            num_keys=1,
+        key64 = (
+            (keep.astype(i64) << 63)
+            | ((511 - tbs_i.astype(i64)) << 54)
+            | (cloud["pads"].astype(i64) << 40)
+            | (cloud["labels"].astype(i64) << 32)
+            | qbits_u.astype(i64)
         )
+        # invalid lanes may carry garbage fields that could borrow into the
+        # ordering bits — pin every dropped row to i64 max (sorts last; the
+        # slot mask below never reads past the kept prefix anyway)
+        key64 = jnp.where(keep, key64, jnp.int64(0x7FFFFFFFFFFFFFFF))
+        k_s = jax.lax.sort(key64.reshape(e, w), dimension=1, is_stable=False)
 
         # pack row prefixes into the pooled output: slot -> (event, column).
         # NOT searchsorted: a binary search over [out_pool] slots lowers to
@@ -608,13 +614,13 @@ class DetectorSimulator:
         col = jnp.clip(slots - start_of, 0, w - 1)
         ok = slots < jnp.minimum(total, out_pool)
 
-        # flat 1-D gathers: 2-D fancy indexing (q_s[ev, col]) lowers to a
+        # flat 1-D gather: 2-D fancy indexing (x[ev, col]) lowers to a
         # generalized gather that costs ~400 ms at this scale on TPU; the
-        # same access as a flat index is ~10x cheaper. Only TWO pool
-        # gathers: tb rides inside the meta payload.
+        # same access as a flat index is ~10x cheaper. ONE i64 pool gather
+        # (the whole row rides in the sort key): 2x i32 gathers 40.9 ms vs
+        # 1x i64 30.6 ms at these shapes, measured.
         flat_idx = ev * w + col
-        qg = q_s.reshape(-1)[flat_idx]
-        mg = m_s.reshape(-1)[flat_idx]
+        g = k_s.reshape(-1)[flat_idx]
 
         # carry only what can't be recomputed on the host: the device->host
         # tunnel measures ~20 MB/s, so x/y/z/size/amplitude/integral (all
@@ -624,10 +630,20 @@ class DetectorSimulator:
         # (charge f32 bits, tb << 22 | pad << 8 | label) — 8 bytes/row
         # instead of 36, one transfer per batch (split_packed on the host
         # recovers the fields bit-exactly).
-        qbits = jax.lax.bitcast_convert_type(
-            jnp.where(ok, qg, 0.0), jnp.int32
+        tb_g = 511 - ((g >> 54) & 0x1FF)
+        meta = (
+            (tb_g << 22) | (((g >> 40) & 0x3FFF) << 8) | ((g >> 32) & 0xFF)
+        ).astype(jnp.int32)
+        qbits = (g & 0xFFFFFFFF).astype(jnp.uint32)
+        packed = jnp.stack(
+            [
+                jax.lax.bitcast_convert_type(
+                    jnp.where(ok, qbits, jnp.uint32(0)), jnp.int32
+                ),
+                jnp.where(ok, meta, 0),
+            ],
+            axis=-1,
         )
-        packed = jnp.stack([qbits, jnp.where(ok, mg, 0)], axis=-1)
         return packed, counts, out_overflow
 
     # ------------------------------------------------------------------ #

@@ -30,19 +30,22 @@ def main():
 
     from __graft_entry__ import _tiny_setup
 
-    pipeline, sim = _tiny_setup(events_per_batch=e, n_time_steps=10000)
-    sim.engine.point_budget = int(os.environ.get("PROF_POINT_BUDGET", 1024))
+    steps = int(os.environ.get("PROF_STEPS", 500))
+    pipeline, sim = _tiny_setup(events_per_batch=e, n_time_steps=steps)
     vertices, momenta = pipeline.run_batch(e, key=jax.random.PRNGKey(0))
-    p3 = momenta[:, sim.sim_indices, :3]
-    gvs = jnp.asarray((p3 / sim.track_masses[None, :, None]).astype(np.float32))
-    v32 = jnp.asarray(vertices, dtype=jnp.float32)
     key = jax.random.PRNGKey(1)
-
-    out = sim._sim_jit(key, v32, gvs, e)
-    np.asarray(out["spyral"].ravel()[0])  # warm + sync
+    kw = dict(
+        assemble=False,
+        point_budget=int(os.environ.get("PROF_POINT_BUDGET", 576)),
+        uniq_budget=int(os.environ.get("PROF_UNIQ_BUDGET", 12288)),
+        out_budget=int(os.environ.get("PROF_OUT_BUDGET", 4096)),
+        n_steps=steps,
+    )
+    out = sim.simulate_batch(key, vertices, momenta, **kw)
+    np.asarray(out["packed"].ravel()[0])  # warm + sync
     with jax.profiler.trace(outdir):
-        out = sim._sim_jit(key, v32, gvs, e)
-        np.asarray(out["spyral"].ravel()[0])
+        out = sim.simulate_batch(key, vertices, momenta, **kw)
+        np.asarray(out["packed"].ravel()[0])
 
     traces = sorted(Path(outdir).rglob("*.trace.json.gz"))
     with gzip.open(traces[-1]) as f:
