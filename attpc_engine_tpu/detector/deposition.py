@@ -153,7 +153,27 @@ def _merge_runs(packed: jax.Array, qv: jax.Array, cap: int, rank_bits: int):
     e = packed.shape[0]
     cap = min(cap, packed.shape[1])
     f32 = jnp.float32
-    packed, qq = jax.lax.sort((packed, qv), dimension=1, num_keys=1)
+    i64 = jnp.int64
+
+    def pack64(key_i32, val_f32):
+        # key in the high 32 bits (keys are nonnegative i32, so the i64
+        # stays positive and ascending-sorts by key first), the f32 value's
+        # bit pattern in the low 32 (nonnegative floats order monotonically
+        # as unsigned ints, and within equal keys the value order is
+        # irrelevant here). One 8 B/lane operand instead of 12 B across
+        # two — sort cost tracks bytes/lane through the sorting network.
+        vb = jax.lax.bitcast_convert_type(val_f32, jnp.int32)
+        return (key_i32.astype(i64) << 32) | vb.astype(jnp.uint32).astype(i64)
+
+    def unpack64(g):
+        key = (g >> 32).astype(jnp.int32)
+        val = jax.lax.bitcast_convert_type(
+            (g & 0xFFFFFFFF).astype(jnp.uint32), f32
+        )
+        return key, val
+
+    g = jax.lax.sort(pack64(packed, qv), dimension=1, is_stable=False)
+    packed, qq = unpack64(g)
     ukey = packed >> rank_bits  # sentinel maps above every real key
     last = _run_last(ukey)
     real_last = last & (packed != KEY_SENTINEL)
@@ -165,11 +185,15 @@ def _merge_runs(packed: jax.Array, qv: jax.Array, cap: int, rank_bits: int):
 
     # compact the run-end rows (ascending key; prefix order is preserved
     # because c is nondecreasing and run-ends are already in key order)
-    key2 = jnp.where(real_last, packed, KEY_SENTINEL)
-    c2op = jnp.where(real_last, c, 0.0)
-    key2, c2 = jax.lax.sort((key2, c2op), dimension=1, num_keys=1)
-    key2 = key2[:, :cap]
-    c2 = c2[:, :cap]
+    g2 = jax.lax.sort(
+        pack64(
+            jnp.where(real_last, packed, KEY_SENTINEL),
+            jnp.where(real_last, c, 0.0),
+        ),
+        dimension=1,
+        is_stable=False,
+    )
+    key2, c2 = unpack64(g2[:, :cap])
 
     valid2 = key2 != KEY_SENTINEL
     prev = jnp.concatenate([jnp.zeros((e, 1), f32), c2[:, :-1]], axis=1)
