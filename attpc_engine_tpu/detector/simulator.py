@@ -819,9 +819,13 @@ def run_simulation(
     granularity (SURVEY.md section 5).
     """
     from ..io.kinematics_file import KinematicsReader
-
+    from ..io.spyral_child import tune_malloc
     from ..utils.profiling import PhaseTimes, phase_timer
 
+    # serve the per-batch pull buffers (~10-40 MB numpy arrays) from the
+    # reused glibc heap: freshly mmapped pages pay this VM's 8-35 us
+    # first-touch fault tax EVERY batch (BASELINE.md "page-fault tax")
+    tune_malloc()
     times = PhaseTimes()
     engine = engine or EngineParams()
     reader = KinematicsReader(input_path)

@@ -43,6 +43,35 @@ _I64PTR = ctypes.POINTER(ctypes.c_int64)
 _I32PTR = ctypes.POINTER(ctypes.c_int32)
 
 
+def tune_malloc(threshold: int = 2**31 - 1) -> bool:
+    """Raise glibc's mmap/trim thresholds so large buffers are served from
+    the reused heap instead of fresh mmaps.
+
+    On this dev VM every FIRST touch of a page pays a fluctuating 8-35 us
+    hypervisor fault (BASELINE.md "page-fault tax"); glibc serves >32 MB
+    allocations via mmap and munmaps them on free, so a per-batch ~10-40 MB
+    numpy buffer re-faults every single batch. Keeping such blocks on the
+    heap (M_MMAP_THRESHOLD up) and never trimming it (M_TRIM_THRESHOLD up)
+    makes the pages warm after the first batch. Costs bounded RSS (the
+    high-water mark of live allocations). Best-effort: returns False on
+    non-glibc platforms.
+
+    The default threshold is INT_MAX (mallopt takes int): the child's
+    in-memory HDF5 image buffer is a single 1.5 GB block per run file
+    (native sio_h5_open_mem) and must be heap-served to stay warm across
+    files — any smaller threshold re-mmaps (and re-faults) it per file.
+    """
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        m_trim_threshold = -1  # glibc malloc.h M_TRIM_THRESHOLD
+        m_mmap_threshold = -3  # glibc malloc.h M_MMAP_THRESHOLD
+        ok = libc.mallopt(m_mmap_threshold, threshold)
+        ok &= libc.mallopt(m_trim_threshold, threshold)
+        return bool(ok)
+    except (OSError, AttributeError):
+        return False
+
+
 def load_native():
     """libspyral_io (native wiggle+sort+assemble + libhdf5 writer) or None.
 
@@ -94,6 +123,16 @@ def load_native():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64
         ]
         lib.sio_h5_close.restype = ctypes.c_int
+        lib.sio_h5_mem_available.argtypes = []
+        lib.sio_h5_mem_available.restype = ctypes.c_int
+        lib.sio_h5_open_mem.argtypes = []
+        lib.sio_h5_open_mem.restype = ctypes.c_void_p
+        lib.sio_h5_close_mem.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_char_p
+        ]
+        lib.sio_h5_close_mem.restype = ctypes.c_int
+        lib.sio_h5_mem_prewarm.argtypes = []
+        lib.sio_h5_mem_prewarm.restype = None
         if lib.sio_h5_init(h5.encode()) != 0:
             return None
         return lib
@@ -201,6 +240,7 @@ class ChildWriter:
         self.last_event = 0
         self.events_written = 0
         self.kwargs = {}
+        self._path = None
         if compression == "gzip":
             self.kwargs = {"compression": "gzip", "compression_opts": 1}
         elif compression and compression != "-":
@@ -209,6 +249,27 @@ class ChildWriter:
         # the compression path keeps h5py's filter pipeline
         self._native = native if not self.kwargs else None
         self._fast = not self.kwargs
+        # In-memory (core VFD) file building + single-pwrite
+        # materialization with RECYCLED destination files. Opt-in by
+        # creating <directory>/.recycle: long runs that prune verified run
+        # files should MOVE them there instead of unlinking — a rename
+        # keeps the file's already-faulted pages, and the no-O_TRUNC
+        # pwrite in sio_h5_close_mem overwrites them at memory speed
+        # instead of paying this VM's 8-35 us/page first-touch fault tax
+        # (BASELINE.md "page-fault tax"; ~half the 1M-run wall time).
+        self._recycle_dir = None
+        self._mem = False
+        if self._native is not None:
+            import pathlib
+
+            rdir = pathlib.Path(directory) / ".recycle"
+            if rdir.is_dir() and self._native.sio_h5_mem_available():
+                self._recycle_dir = rdir
+                self._mem = True
+                # fault the ~3 GB of image/arena blocks now, while the
+                # parent is still compiling/streaming kinematics — the
+                # per-file loop then runs with zero fresh page faults
+                self._native.sio_h5_mem_prewarm()
         if self._native is None:
             import h5py
 
@@ -228,7 +289,25 @@ class ChildWriter:
         self._open()
 
     def _open(self):
+        import time
+
+        t0 = time.perf_counter()
+        self._open_inner()
+        if os.environ.get("ATTPC_CHILD_TIMING") == "batch":
+            print(
+                f"[spyral-child] open run_{self.run_number:04d} "
+                f"{time.perf_counter() - t0:.3f}s mem={self._mem}",
+                file=sys.stderr,
+            )
+
+    def _open_inner(self):
         path = f"{self.directory}/run_{self.run_number:04d}.h5"
+        self._path = path
+        if self._mem:
+            self._fid = self._native.sio_h5_open_mem()
+            if self._fid:
+                return
+            self._mem = False  # core VFD unavailable: plain file path
         if self._native is not None:
             self._fid = self._native.sio_h5_open(path.encode())
             if not self._fid:
@@ -238,7 +317,42 @@ class ChildWriter:
         self.group = self.file.create_group("cloud")
         self._gid = self.group.id
 
+    def _recycle_destination(self):
+        """Rename a pruned predecessor onto the destination path so its
+        warm pages are overwritten in place (rename preserves pages)."""
+        try:
+            spare = next(self._recycle_dir.glob("*.h5"))
+        except StopIteration:
+            return
+        try:
+            os.replace(spare, self._path)
+        except OSError:
+            pass
+
     def _finalize(self):
+        import time
+
+        t0 = time.perf_counter()
+        self._finalize_inner()
+        if os.environ.get("ATTPC_CHILD_TIMING") == "batch":
+            print(
+                f"[spyral-child] finalize run_{self.run_number:04d} "
+                f"{time.perf_counter() - t0:.3f}s mem={self._mem}",
+                file=sys.stderr,
+            )
+
+    def _finalize_inner(self):
+        if self._mem:
+            self._recycle_destination()
+            rc = self._native.sio_h5_close_mem(
+                self._fid, self.starting_event, self.last_event,
+                self._path.encode(),
+            )
+            if rc != 0:
+                raise RuntimeError(
+                    f"native in-memory HDF5 close failed (rc={rc})"
+                )
+            return
         if self._native is not None:
             rc = self._native.sio_h5_close(
                 self._fid, self.starting_event, self.last_event
@@ -377,6 +491,7 @@ def main() -> int:
     tables_path, directory, max_events, first_run, compression = sys.argv[1:6]
     if os.environ.get("ATTPC_CHILD_TIMING"):
         print(f"[spyral-child] main() at {time.time():.3f}", file=sys.stderr)
+    tune_malloc()  # keep big numpy/HDF5 buffers heap-warm (page-fault tax)
     tables = dict(np.load(tables_path))
     writer = ChildWriter(directory, int(max_events), int(first_run),
                          compression, native=load_native())
@@ -432,7 +547,8 @@ def main() -> int:
                     f"copy={t_copy:.2f}s work={t_work:.2f}s "
                     f"(wiggle={t_wig:.2f} assemble={t_asm:.2f} "
                     f"sort+write={t_sw:.2f}) "
-                    f"cpu={ru.ru_utime + ru.ru_stime:.2f}s",
+                    f"cpu={ru.ru_utime + ru.ru_stime:.2f}s "
+                    f"minflt={ru.ru_minflt}",
                     file=sys.stderr,
                 )
             out.write("done\n")

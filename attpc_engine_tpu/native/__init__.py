@@ -93,10 +93,25 @@ def configure_spyral_io(lib: "ctypes.CDLL") -> None:
         i64p,
     ]
     lib.sio_h5_write_event.restype = ctypes.c_int
+    lib.sio_h5_write_events.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, i64p, i64p,
+        ctypes.c_int64, d, i64p,
+    ]
+    lib.sio_h5_write_events.restype = ctypes.c_int64
     lib.sio_h5_close.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64
     ]
     lib.sio_h5_close.restype = ctypes.c_int
+    lib.sio_h5_mem_available.argtypes = []
+    lib.sio_h5_mem_available.restype = ctypes.c_int
+    lib.sio_h5_open_mem.argtypes = []
+    lib.sio_h5_open_mem.restype = ctypes.c_void_p
+    lib.sio_h5_close_mem.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_char_p
+    ]
+    lib.sio_h5_close_mem.restype = ctypes.c_int
+    lib.sio_h5_mem_prewarm.argtypes = []
+    lib.sio_h5_mem_prewarm.restype = None
 
 
 def get_spyral_io_lib(with_h5: bool = False):

@@ -30,9 +30,12 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cerrno>
 #include <cstdio>
 #include <cstring>
 #include <dlfcn.h>
+#include <fcntl.h>
+#include <unistd.h>
 #include <vector>
 
 // ---------------------------------------------------------------------------
@@ -214,9 +217,18 @@ struct H5Api {
     hid (*acreate2)(hid, const char*, hid, hid, hid, hid);
     herr (*awrite)(hid, hid, const void*);
     herr (*aclose)(hid);
+    // in-memory (core VFD) image writer — optional, see sio_h5_open_mem
+    hid (*pcreate)(hid) = nullptr;
+    herr (*pclose)(hid) = nullptr;
+    herr (*set_fapl_core)(hid, size_t, unsigned) = nullptr;
+    int64_t (*get_file_image)(hid, void*, size_t) = nullptr;  // ssize_t
+    herr (*fflush)(hid, int) = nullptr;
+    herr (*set_image_cbs)(hid, const void*) = nullptr;
+    hid cls_facc = -1;
     hid t_f64le = -1, t_i64le = -1, t_nat_f64 = -1, t_nat_i64 = -1;
     hid s_scalar = -1;
     bool ready = false;
+    bool mem_ready = false;
 };
 
 H5Api g_h5;
@@ -272,6 +284,19 @@ extern "C" int sio_h5_init(const char* libpath) {
     g_h5.s_scalar = g_h5.screate(H5S_SCALAR_);
     if (g_h5.s_scalar < 0) return -4;
     g_h5.ready = true;
+    // optional core-VFD image writer (all 1.8+ APIs; degrade gracefully)
+    bool mem_ok = resolve(lib, "H5Pcreate", g_h5.pcreate) &&
+                  resolve(lib, "H5Pclose", g_h5.pclose) &&
+                  resolve(lib, "H5Pset_fapl_core", g_h5.set_fapl_core) &&
+                  resolve(lib, "H5Fget_file_image", g_h5.get_file_image) &&
+                  resolve(lib, "H5Fflush", g_h5.fflush) &&
+                  resolve(lib, "H5Pset_file_image_callbacks",
+                          g_h5.set_image_cbs);
+    if (mem_ok) {
+        g_h5.cls_facc = global_hid(lib, "H5P_CLS_FILE_ACCESS_ID_g");
+        mem_ok = g_h5.cls_facc >= 0;
+    }
+    g_h5.mem_ready = mem_ok;
     return 0;
 }
 
@@ -391,6 +416,190 @@ extern "C" int sio_h5_close(void* handle, int64_t min_event,
     rc |= attr_i64(w->group, "max_event", max_event);
     g_h5.gclose(w->group);
     if (g_h5.fclose(w->file) < 0) rc = -2;
+    delete w;
+    return rc;
+}
+
+// ---------------------------------------------------------------------------
+// In-memory (core VFD) file writing + pwrite materialization.
+//
+// Motivation (measured on the dev VM, BASELINE.md "page-fault tax"): every
+// FIRST touch of a page costs a fluctuating 8-35 us hypervisor fault, so
+// writing a 1.1 GB run file through the sec2 VFD pays minutes of kernel
+// time per 1M-event run, while REWRITING existing (warm) pages runs at
+// ~3.9 GB/s.  sio_h5_open_mem builds the HDF5 file in the core (memory)
+// VFD — whose buffer lives in the (warm, reused) heap — and
+// sio_h5_close_mem materializes the finished image with ONE pwrite into
+// the destination path WITHOUT O_TRUNC, so a recycled destination file
+// (renamed from a pruned predecessor) keeps its already-faulted pages and
+// the write runs at memory speed.  With a fresh destination the tax is
+// paid once, same as sec2 — callers should prefer recycled destinations
+// (ChildWriter rotates through <outdir>/.recycle when present).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// Grow-only extraction arena: H5Fget_file_image copies the finished
+// image here, so the copy target's pages are warm after the first file.
+// (Intercepting the core VFD's own buffer via file-image callbacks was
+// tried and REVERTED: HDF5 1.14's core driver does not route its buffer
+// free through them, which dangles the arena and silently reuses the
+// previous file's image — all run files came out identical.)
+std::vector<char>& arena() {
+    static std::vector<char> a;
+    return a;
+}
+
+// Core-VFD buffer increment. Must fit the whole run file (growth is a
+// whole-image realloc onto fresh pages — measured 10x slower than sec2)
+// and stay below INT_MAX so the raised M_MMAP_THRESHOLD (an int mallopt,
+// see spyral_child.tune_malloc) keeps glibc serving and reusing it from
+// the warm heap across files.
+constexpr size_t kCoreIncrement = (size_t)1536 << 20;
+
+// Holder for the core VFD's freed buffer chunk between files. Without
+// it, any small malloc between one file's close and the next file's
+// create can SPLIT the freed 1.5 GB chunk in glibc's bins, so the next
+// file's buffer lands on fresh (cold, fault-taxed) pages — measured as
+// 28-63 s per rotation in the writer child while a tight microbench
+// (no intervening allocations) reused the chunk warm at ~0.2 s.
+// close_mem captures the chunk the instant HDF5 frees it; open_mem
+// releases it immediately before H5Fcreate, whose first superblock
+// write reallocs the core buffer to the full increment and takes the
+// warm chunk back.
+void* g_core_holder = nullptr;
+
+}  // namespace
+
+extern "C" int sio_h5_mem_available() {
+    return g_h5.ready && g_h5.mem_ready ? 1 : 0;
+}
+
+extern "C" void sio_h5_mem_prewarm() {
+    // Fault the mem path's big blocks ONCE, at a moment the caller knows
+    // is idle (the writer child boots while the parent compiles/streams
+    // kinematics). First touches cost a fluctuating 2-35 us/page on this
+    // VM (~30-60 s for the ~3 GB below at the bad end); afterwards the
+    // steady-state per-file loop runs with ZERO fresh faults. Order
+    // matters: size the arena first so the increment-sized chunk freed
+    // last is the exact warm block glibc hands the next core-VFD open.
+    auto& buf = arena();
+    if (buf.size() < kCoreIncrement) buf.resize(kCoreIncrement);
+    std::memset(buf.data(), 1, buf.size());
+    void* p = std::malloc(kCoreIncrement);
+    if (p) {
+        std::memset(p, 1, kCoreIncrement);
+        std::free(p);
+    }
+}
+
+extern "C" void* sio_h5_open_mem() {
+    if (!g_h5.ready || !g_h5.mem_ready) return nullptr;
+    hid fapl = g_h5.pcreate(g_h5.cls_facc);
+    if (fapl < 0) return nullptr;
+    // backing_store = false: sio_h5_close_mem materializes the image.
+    if (g_h5.set_fapl_core(fapl, kCoreIncrement, 0) < 0) {
+        g_h5.pclose(fapl);
+        return nullptr;
+    }
+    static int seq = 0;
+    char name[32];
+    std::snprintf(name, sizeof(name), "siomem-%d.h5", seq++);
+    if (g_core_holder) {  // hand the warm chunk to H5Fcreate's realloc
+        std::free(g_core_holder);
+        g_core_holder = nullptr;
+    }
+    hid f = g_h5.fcreate(name, H5F_ACC_TRUNC_, H5P_DEFAULT_, fapl);
+    g_h5.pclose(fapl);
+    if (f < 0) return nullptr;
+    hid g = g_h5.gcreate2(f, "cloud", H5P_DEFAULT_, H5P_DEFAULT_,
+                          H5P_DEFAULT_);
+    if (g < 0) {
+        g_h5.fclose(f);
+        return nullptr;
+    }
+    return new Writer{f, g};
+}
+
+extern "C" int sio_h5_close_mem(void* handle, int64_t min_event,
+                                int64_t max_event, const char* path) {
+    auto* w = static_cast<Writer*>(handle);
+    if (!w || !g_h5.mem_ready) return -1;
+    int rc = 0;
+    rc |= attr_i64(w->group, "min_event", min_event);
+    rc |= attr_i64(w->group, "max_event", max_event);
+    g_h5.gclose(w->group);
+    if (rc == 0 && g_h5.fflush(w->file, 1 /* H5F_SCOPE_GLOBAL */) < 0)
+        rc = -3;
+    const int64_t img = rc == 0 ? g_h5.get_file_image(w->file, nullptr, 0)
+                                : -1;
+    if (rc == 0 && img <= 0) rc = -4;
+    int64_t eof_size = -1;
+    if (rc == 0) {
+        auto& buf = arena();
+        if (static_cast<int64_t>(buf.size()) < img)
+            buf.resize(static_cast<size_t>(img));
+        if (g_h5.get_file_image(w->file, buf.data(),
+                                static_cast<size_t>(img)) != img) {
+            rc = -5;
+        } else {
+            // The size a reader will demand is the superblock's stored
+            // EOF, which exceeds the image (= EOA) by the file's free
+            // space (measured ~100 KB/file on the core VFD). The v0
+            // superblock stores it as a little-endian u64 at byte 40
+            // (sig[8] + 16 version/size bytes + leaf/internal k[4] +
+            // flags[4] + base addr[8]); bytes past EOA are never read,
+            // so the sparse ftruncate below satisfies the check for free.
+            static const char sig[8] = {'\x89', 'H',    'D', 'F',
+                                        '\r',   '\n', '\x1a', '\n'};
+            if (std::memcmp(buf.data(), sig, 8) != 0 ||
+                buf[8] != 0 /* superblock v0 */ ||
+                buf[13] != 8 /* 8-byte offsets */) {
+                rc = -11;
+            } else {
+                uint64_t eof;
+                std::memcpy(&eof, buf.data() + 40, 8);
+                eof_size = static_cast<int64_t>(eof);
+                if (eof_size < img) rc = -12;
+            }
+        }
+    }
+    if (rc == 0) {
+        // Single pwrite from the warm arena. NO O_TRUNC: a recycled
+        // destination's pages are overwritten in place and stay warm —
+        // truncation would free them back to the hypervisor and every
+        // byte would pay the first-touch fault again (BASELINE.md
+        // "page-fault tax").
+        int fd = ::open(path, O_RDWR | O_CREAT, 0644);
+        if (fd < 0) {
+            std::fprintf(stderr, "[spyral_io] open(%s) failed: %s\n", path,
+                         std::strerror(errno));
+            rc = -6;
+        } else {
+            const char* data = arena().data();
+            int64_t off = 0;
+            while (off < img) {
+                ssize_t n = ::pwrite(fd, data + off,
+                                     static_cast<size_t>(img - off),
+                                     static_cast<off_t>(off));
+                if (n <= 0) {
+                    rc = -7;
+                    break;
+                }
+                off += n;
+            }
+            // grow sparsely to the stored EOF / shrink a recycled file's
+            // surplus tail to it
+            if (rc == 0 &&
+                ::ftruncate(fd, static_cast<off_t>(eof_size)) != 0)
+                rc = -8;
+            if (::close(fd) != 0 && rc == 0) rc = -9;
+        }
+    }
+    if (g_h5.fclose(w->file) < 0 && rc == 0) rc = -10;
+    // H5Fclose just freed the ~increment-sized core buffer; capture the
+    // chunk before any other allocation can split it (see g_core_holder)
+    if (!g_core_holder) g_core_holder = std::malloc(kCoreIncrement);
     delete w;
     return rc;
 }

@@ -218,3 +218,80 @@ def test_writer_native_vs_python_identical(tmp_path):
                     np.asarray(ga[k]), np.asarray(gb[k]), err_msg=k
                 )
                 assert dict(ga[k].attrs) == dict(gb[k].attrs), k
+
+
+def test_writer_recycled_mem_path_identical(tmp_path):
+    """The in-memory (core VFD) image path with recycled destination files
+    must produce value-identical files to the plain native per-file path,
+    including when a recycled predecessor's stale bytes are overwritten in
+    place (the no-O_TRUNC pwrite must leave an exactly-sized valid file)."""
+    import attpc_engine_tpu.native as native_mod
+
+    lib = native_mod.get_spyral_io_lib(with_h5=True)
+    if lib is None or not lib.sio_h5_mem_available():
+        import pytest
+
+        pytest.skip("native in-memory HDF5 writer unavailable")
+
+    pipeline = KinematicsPipeline(
+        [
+            Reaction(
+                target=nuclear_map.get_data(1, 2),
+                projectile=nuclear_map.get_data(6, 12),
+                ejectile=nuclear_map.get_data(1, 1),
+            )
+        ],
+        [ExcitationGaussian(0.0, 0.0)],
+        [PolarUniform(0.0, np.pi)],
+        120.0,
+    )
+    kine = tmp_path / "k.h5"
+    run_kinematics_pipeline(pipeline, 12, kine, batch_size=12, seed=31,
+                            show_progress=False)
+    config = Config(
+        DetectorParams(1.0, 45000.0, 2.85, 175000, gas, 0.277, 0.2, 34.0),
+        ElectronicsParams(6.25, 900, 1000, 10, 560, 40),
+        PadParams(),
+    )
+    engine = EngineParams(
+        n_time_steps=1000, chunk_steps=250, point_budget=2048,
+        out_budget=8192, events_per_batch=4,
+    )
+    d_plain = tmp_path / "plain"
+    d_mem = tmp_path / "mem"
+    d_plain.mkdir()
+    d_mem.mkdir()
+    # opt into the mem path and seed the recycle pool with oversized junk
+    # files: the rename-then-overwrite flow must produce exact-size output
+    rdir = d_mem / ".recycle"
+    rdir.mkdir()
+    for i in range(2):
+        (rdir / f"spare_{i}.h5").write_bytes(b"\xab" * (1 << 20))
+
+    run_simulation(config, kine, SpyralWriterProc(d_plain, config, 5),
+                   engine=engine, seed=6, show_progress=False)
+    run_simulation(config, kine, SpyralWriterProc(d_mem, config, 5),
+                   engine=engine, seed=6, show_progress=False)
+
+    files_a = sorted(glob.glob(str(d_plain / "run_*.h5")))
+    files_b = sorted(glob.glob(str(d_mem / "run_*.h5")))
+    assert [f.split("/")[-1] for f in files_a] == [
+        f.split("/")[-1] for f in files_b
+    ]
+    assert len(files_a) >= 2  # rotation exercised
+    for fa, fb in zip(files_a, files_b):
+        import os
+
+        # the core-VFD image carries ~100 KB of free-space slack the sec2
+        # path reclaims; content must match exactly, size within bounds
+        # (and far below the recycled spares' 1 MB of stale junk)
+        assert os.path.getsize(fb) <= os.path.getsize(fa) * 1.1 + 262144
+        with h5py.File(fa) as a, h5py.File(fb) as b:
+            ga, gb = a["cloud"], b["cloud"]
+            assert set(ga.keys()) == set(gb.keys()) and len(ga.keys())
+            assert dict(ga.attrs) == dict(gb.attrs)
+            for k in ga.keys():
+                np.testing.assert_array_equal(
+                    np.asarray(ga[k]), np.asarray(gb[k]), err_msg=k
+                )
+                assert dict(ga[k].attrs) == dict(gb[k].attrs), k
