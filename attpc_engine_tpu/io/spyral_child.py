@@ -319,12 +319,14 @@ class ChildWriter:
 
     def _recycle_destination(self):
         """Rename a pruned predecessor onto the destination path so its
-        warm pages are overwritten in place (rename preserves pages)."""
-        try:
-            spare = next(self._recycle_dir.glob("*.h5"))
-        except StopIteration:
+        warm pages are overwritten in place (rename preserves pages).
+        Prefers the largest spare: pages past a short spare's end are
+        fresh allocations that still pay the first-touch tax."""
+        spares = list(self._recycle_dir.glob("*.h5"))
+        if not spares:
             return
         try:
+            spare = max(spares, key=lambda p: p.stat().st_size)
             os.replace(spare, self._path)
         except OSError:
             pass
