@@ -272,15 +272,18 @@ class DetectorSimulator:
     def _simulate_impl(
         self,
         key,
-        vertices,
-        gvs,
+        vg,
         n_events: int,
         point_budget: int | None = None,
         uniq_budget: int | None = None,
         out_budget: int | None = None,
         n_steps: int | None = None,
     ):
-        """vertices [E,3] f32, gvs [E,K,3] f32 -> cloud + spyral arrays.
+        """vg [E, 3 + K*3] f32 (vertex cols 0-2, then gamma*beta per
+        track) -> cloud + spyral arrays. The batch rides ONE combined
+        host->device array: each put is a separate message on the FIFO
+        tunnel, so two puts per batch cost two queue slots behind the
+        in-flight D2H stream.
 
         Pool budgets and the effective step window are static jit arguments
         (None = the engine defaults) so the driver can retune them between
@@ -294,6 +297,8 @@ class DetectorSimulator:
         e = n_events
         k = self.k_tracks
         b = e * k
+        vertices = vg[:, :3]
+        gvs = vg[:, 3:].reshape(e, k, 3)
 
         k_e, k_w = jax.random.split(key)
 
@@ -689,16 +694,18 @@ class DetectorSimulator:
         # initial gamma*beta = p / m (reference solver.py:273), f64 on host
         p3 = momenta[:, self.sim_indices, :3]  # [E, K, 3]
         gvs = (p3 / self.track_masses[None, :, None]).astype(np.float32)
-        v_dev = jnp.asarray(vertices, dtype=jnp.float32)
-        g_dev = jnp.asarray(gvs)
+        vg = np.concatenate(
+            [np.asarray(vertices, dtype=np.float32), gvs.reshape(e, -1)],
+            axis=1,
+        )
+        vg_dev = jnp.asarray(vg)
         if self.mesh is not None and e % self.mesh.size == 0:
             from ..parallel.mesh import shard_events
 
-            v_dev, g_dev = shard_events(self.mesh, v_dev, g_dev)
+            vg_dev = shard_events(self.mesh, vg_dev)
         out = self._sim_jit(
             key,
-            v_dev,
-            g_dev,
+            vg_dev,
             e,
             point_budget=point_budget or self.engine.point_budget,
             uniq_budget=uniq_budget or self.engine.uniq_budget,
@@ -853,7 +860,16 @@ def run_simulation(
     )
     if seed is None:
         seed = int(np.random.SeedSequence().entropy % (2**31))
-    base_key = jax.random.PRNGKey(seed)
+    # pin the key chain to the host CPU backend: threefry values are
+    # backend-independent, and deriving the per-batch key on host avoids
+    # launching a tiny accelerator program (one extra tunnel round trip)
+    # every batch just to fold in the event start
+    try:
+        _cpu = jax.devices("cpu")[0]
+        with jax.default_device(_cpu):
+            base_key = jax.random.PRNGKey(seed)
+    except RuntimeError:
+        base_key = jax.random.PRNGKey(seed)
 
     progress = None
     if show_progress:

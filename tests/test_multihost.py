@@ -51,23 +51,20 @@ vertices, momenta = pipeline.run_batch(E, key=jax.random.PRNGKey(7))
 p3 = momenta[:, sim.sim_indices, :3]
 gvs = np.asarray(p3 / sim.track_masses[None, :, None], dtype=np.float32)
 verts = np.asarray(vertices, dtype=np.float32)
+vg = np.concatenate([verts, gvs.reshape(E, -1)], axis=1)
 
 mesh = event_mesh()  # global 4-device mesh
-sh3 = event_sharding(mesh, 2)
-shg = event_sharding(mesh, 3)
-# build global arrays from per-process local shards (the multi-host way)
-v_glob = jax.make_array_from_process_local_data(sh3, verts[proc * 4:(proc + 1) * 4])
-g_glob = jax.make_array_from_process_local_data(shg, gvs[proc * 4:(proc + 1) * 4])
+sh2 = event_sharding(mesh, 2)
+# build the global array from per-process local shards (the multi-host way)
+vg_glob = jax.make_array_from_process_local_data(sh2, vg[proc * 4:(proc + 1) * 4])
 key = jax.random.PRNGKey(3)
 
-out = sim._sim_jit(key, v_glob, g_glob, E)
+out = sim._sim_jit(key, vg_glob, E)
 counts = np.asarray(
     multihost_utils.process_allgather(out["spyral_counts"], tiled=True)
 )
 # single-process reference on this process's own devices
-ref = sim._sim_jit(
-    key, jax.numpy.asarray(verts), jax.numpy.asarray(gvs), E
-)
+ref = sim._sim_jit(key, jax.numpy.asarray(vg), E)
 ref_counts = np.asarray(ref["spyral_counts"])
 assert counts.shape == (E,)
 np.testing.assert_array_equal(counts, ref_counts)

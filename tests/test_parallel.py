@@ -96,12 +96,15 @@ def test_sharded_matches_single_device():
     mesh = event_mesh()
     p3 = momenta[:, sim.sim_indices, :3]
     gvs = (p3 / sim.track_masses[None, :, None]).astype(np.float32)
-    v_sh, g_sh = shard_events(mesh, vertices.astype(np.float32), gvs)
+    vg = np.concatenate(
+        [vertices.astype(np.float32), gvs.reshape(8, -1)], axis=1
+    )
+    vg_sh = shard_events(mesh, vg)
     out_sharded = jax.jit(
         sim._simulate_impl,
         static_argnames=("n_events",),
         out_shardings=None,
-    )(key, v_sh, g_sh, 8)
+    )(key, vg_sh, 8)
 
     # XLA does not guarantee bit-identical f32 across different compilations
     # (fusion/reduction order changes under sharding), so compare at physics

@@ -139,10 +139,13 @@ def main():
     conv = lambda: conv_jit(cloud, out_budget, e, window)
     t_conv = timeit("convert", conv)
 
+    vg = jnp.concatenate(
+        [jnp.asarray(vertices, dtype=jnp.float32), gvs.reshape(e, -1)],
+        axis=1,
+    )
     full = lambda: (
         sim._sim_jit(
-            key, jnp.asarray(vertices, dtype=jnp.float32),
-            gvs.reshape(e, sim.k_tracks, 3), e,
+            key, vg, e,
             point_budget=point_budget, uniq_budget=uniq_budget,
             out_budget=out_budget, n_steps=steps,
         )["packed"]
