@@ -254,6 +254,8 @@ class SpyralWriterProc:
         first_run_number: int = 0,
         compression: str | None = None,
         max_outstanding: int = 4,
+        n_shards: int = 1,
+        run_stride: int = 1,
     ):
         import subprocess
         import sys
@@ -261,6 +263,29 @@ class SpyralWriterProc:
 
         self.directory_path = Path(directory_path)
         self.config = config
+        self.max_events_per_file = max_events_per_file
+        # Striped mode (n_shards > 1): N writer children, each owning
+        # every N-th run file, fed round-robin BY FILE so every run file
+        # still holds a contiguous written-event range (the Spyral
+        # min_event/max_event contract). One child sustains ~4.3k ev/s on
+        # one core (BASELINE.md); a direct-attached multi-chip host needs
+        # several to keep up with ~13k+ ev/s of device output. On this
+        # one-core dev box striping only adds contention — default 1.
+        self._shards: list[SpyralWriterProc] | None = None
+        if n_shards > 1:
+            if run_stride != 1:
+                raise ValueError("n_shards and run_stride are exclusive")
+            self._shards = [
+                SpyralWriterProc(
+                    directory_path, config, max_events_per_file,
+                    first_run_number + i, compression, max_outstanding,
+                    run_stride=n_shards,
+                )
+                for i in range(n_shards)
+            ]
+            self._written_total = 0
+            self._closed = False
+            return
         resp = np.asarray(get_response(config), dtype=np.float64)
         asc = np.sort(resp)
         self._tables_file = tempfile.NamedTemporaryFile(
@@ -301,6 +326,7 @@ class SpyralWriterProc:
                 str(max_events_per_file),
                 str(first_run_number),
                 compression or "-",
+                str(run_stride),
             ],
             stdin=subprocess.PIPE,
             stdout=subprocess.PIPE,
@@ -370,6 +396,11 @@ class SpyralWriterProc:
 
         import time
 
+        if self._shards is not None:
+            self._route_packed(
+                packed, counts, event_numbers, raw_counts, wiggle_seed
+            )
+            return
         if self._proc.poll() is not None:
             # surface a child crash at the next write instead of a broken
             # pipe at close (round-2 ADVICE item 5)
@@ -418,6 +449,48 @@ class SpyralWriterProc:
         self._proc.stdin.write(json.dumps(msg) + "\n")
         self._proc.stdin.flush()
 
+    def _route_packed(
+        self, packed, counts, event_numbers, raw_counts, wiggle_seed
+    ) -> None:
+        """Striped mode: split the batch at written-event file boundaries
+        and ship each contiguous segment to the shard owning that run
+        file. Mirrors ChildWriter's rotation arithmetic (events with rows
+        OR a non-empty raw batch count toward rotation; raw-empty events
+        are skipped), and the per-event Philox TB wiggle makes the output
+        bytes invariant to how batches are split."""
+        counts = np.asarray(counts, dtype=np.int64)
+        raws = (
+            None
+            if raw_counts is None
+            else np.asarray(raw_counts, dtype=np.int64)
+        )
+        written = counts > 0
+        if raws is not None:
+            written |= raws > 0
+        row_off = np.concatenate([[0], np.cumsum(counts)])
+        n = len(counts)
+        mepf = self.max_events_per_file
+        i = 0
+        while i < n:
+            w_rest = written[i:]
+            if not w_rest.any():
+                break
+            file_idx = self._written_total // mepf
+            cap = mepf - (self._written_total % mepf)
+            wcum = np.cumsum(w_rest)
+            j = i + int(np.searchsorted(wcum, cap, side="right"))
+            lo, hi = int(row_off[i]), int(row_off[j])
+            shard = self._shards[file_idx % len(self._shards)]
+            shard.write_packed(
+                packed[lo:hi],
+                counts[i:j],
+                event_numbers[i:j],
+                raw_counts=None if raws is None else raws[i:j],
+                wiggle_seed=wiggle_seed,
+            )
+            self._written_total += int(wcum[j - i - 1])
+            i = j
+
     def write_spyral_pool(
         self, spyral_pool, labels_pool, counts, event_numbers
     ) -> None:  # pragma: no cover - driver prefers write_packed
@@ -436,6 +509,16 @@ class SpyralWriterProc:
         if self._closed:
             return
         self._closed = True
+        if self._shards is not None:
+            errs = []
+            for s in self._shards:
+                try:
+                    s.close()
+                except Exception as exc:  # close every shard regardless
+                    errs.append(exc)
+            if errs:
+                raise errs[0]
+            return
         if os.environ.get("ATTPC_CHILD_TIMING"):
             import sys
 

@@ -232,15 +232,23 @@ class ChildWriter:
     """
 
     def __init__(self, directory, max_events, first_run, compression,
-                 native=None):
+                 native=None, run_stride=1):
         self.directory = directory
         self.max_events = max_events
         self.run_number = first_run
+        self.run_stride = run_stride
         self.starting_event = 0
         self.last_event = 0
         self.events_written = 0
         self.kwargs = {}
         self._path = None
+        # striped mode (run_stride > 1, see SpyralWriterProc n_shards):
+        # this child owns every run_stride-th run file. Its first file is
+        # opened lazily on the first routed event (so a shard that never
+        # receives events leaves no stray empty file) and min_event is the
+        # actual first event instead of the reference's always-0 quirk
+        # (which only holds for the unsharded writer).
+        self._opened = run_stride == 1
         if compression == "gzip":
             self.kwargs = {"compression": "gzip", "compression_opts": 1}
         elif compression and compression != "-":
@@ -286,7 +294,15 @@ class ChildWriter:
                 b"ic_amplitude", b"ic_multiplicity", b"ic_integral",
                 b"ic_centroid",
             )
+        if self._opened:
+            self._open()
+
+    def _first_open(self, first_event: int) -> None:
+        """Striped mode: open this shard's first file at its actual first
+        routed event (single-child mode opens eagerly in __init__)."""
         self._open()
+        self.starting_event = first_event
+        self._opened = True
 
     def _open(self):
         import time
@@ -334,6 +350,8 @@ class ChildWriter:
     def _finalize(self):
         import time
 
+        if not self._opened:  # striped shard that never received an event
+            return
         t0 = time.perf_counter()
         self._finalize_inner()
         if os.environ.get("ATTPC_CHILD_TIMING") == "batch":
@@ -425,9 +443,11 @@ class ChildWriter:
             if not w_rest.any():
                 break
             k = i + int(np.argmax(w_rest))  # next event that gets written
+            if not self._opened:
+                self._first_open(start + k)
             if self.events_written == self.max_events:
                 self._finalize()
-                self.run_number += 1
+                self.run_number += self.run_stride
                 self._open()
                 self.starting_event = start + k
                 self.events_written = 0
@@ -450,9 +470,11 @@ class ChildWriter:
             i = j
 
     def write_event(self, spyral, labels, event_number):
+        if not self._opened:
+            self._first_open(event_number)
         if self.events_written == self.max_events:
             self._finalize()
-            self.run_number += 1
+            self.run_number += self.run_stride
             self._open()
             self.starting_event = event_number
             self.events_written = 0
@@ -491,12 +513,14 @@ def main() -> int:
     import time
 
     tables_path, directory, max_events, first_run, compression = sys.argv[1:6]
+    run_stride = int(sys.argv[6]) if len(sys.argv) > 6 else 1
     if os.environ.get("ATTPC_CHILD_TIMING"):
         print(f"[spyral-child] main() at {time.time():.3f}", file=sys.stderr)
     tune_malloc()  # keep big numpy/HDF5 buffers heap-warm (page-fault tax)
     tables = dict(np.load(tables_path))
     writer = ChildWriter(directory, int(max_events), int(first_run),
-                         compression, native=load_native())
+                         compression, native=load_native(),
+                         run_stride=run_stride)
     native = writer._native
     if native is not None:
         # contiguous f64 views the C assembler indexes directly

@@ -295,3 +295,61 @@ def test_writer_recycled_mem_path_identical(tmp_path):
                     np.asarray(ga[k]), np.asarray(gb[k]), err_msg=k
                 )
                 assert dict(ga[k].attrs) == dict(gb[k].attrs), k
+
+
+def test_writer_striped_shards_identical(tmp_path):
+    """n_shards=2 must produce the SAME set of run files, with the same
+    names and value-identical content, as the single-child writer: each
+    run file holds a contiguous written-event range and shard k owns
+    every 2nd file (run_stride routing). Small max_events_per_file forces
+    many rotations, including batch-straddling boundaries."""
+    pipeline = KinematicsPipeline(
+        [
+            Reaction(
+                target=nuclear_map.get_data(1, 2),
+                projectile=nuclear_map.get_data(6, 12),
+                ejectile=nuclear_map.get_data(1, 1),
+            )
+        ],
+        [ExcitationGaussian(0.0, 0.0)],
+        [PolarUniform(0.0, np.pi)],
+        120.0,
+    )
+    kine = tmp_path / "k.h5"
+    run_kinematics_pipeline(pipeline, 14, kine, batch_size=14, seed=77,
+                            show_progress=False)
+    config = Config(
+        DetectorParams(1.0, 45000.0, 2.85, 175000, gas, 0.277, 0.2, 34.0),
+        ElectronicsParams(6.25, 900, 1000, 10, 560, 40),
+        PadParams(),
+    )
+    engine = EngineParams(
+        n_time_steps=1000, chunk_steps=250, point_budget=2048,
+        out_budget=8192, events_per_batch=7,
+    )
+    d1 = tmp_path / "one"
+    d2 = tmp_path / "two"
+    d1.mkdir()
+    d2.mkdir()
+    run_simulation(config, kine, SpyralWriterProc(d1, config, 3),
+                   engine=engine, seed=6, show_progress=False)
+    run_simulation(config, kine,
+                   SpyralWriterProc(d2, config, 3, n_shards=2),
+                   engine=engine, seed=6, show_progress=False)
+
+    files_a = sorted(glob.glob(str(d1 / "run_*.h5")))
+    files_b = sorted(glob.glob(str(d2 / "run_*.h5")))
+    assert [f.split("/")[-1] for f in files_a] == [
+        f.split("/")[-1] for f in files_b
+    ]
+    assert len(files_a) >= 3  # both shards rotated
+    for fa, fb in zip(files_a, files_b):
+        with h5py.File(fa) as a, h5py.File(fb) as b:
+            ga, gb = a["cloud"], b["cloud"]
+            assert set(ga.keys()) == set(gb.keys()), fa
+            assert dict(ga.attrs) == dict(gb.attrs), fa
+            for k in ga.keys():
+                np.testing.assert_array_equal(
+                    np.asarray(ga[k]), np.asarray(gb[k]), err_msg=k
+                )
+                assert dict(ga[k].attrs) == dict(gb[k].attrs), k
