@@ -353,3 +353,68 @@ def test_writer_striped_shards_identical(tmp_path):
                     np.asarray(ga[k]), np.asarray(gb[k]), err_msg=k
                 )
                 assert dict(ga[k].attrs) == dict(gb[k].attrs), k
+
+
+def test_writer_striped_plus_recycle_identical(tmp_path):
+    """Striping and the recycled in-memory path compose: two children
+    share one .recycle pool (rename races fall back to fresh files) and
+    the output stays value-identical to the plain single-child writer."""
+    import attpc_engine_tpu.native as native_mod
+
+    lib = native_mod.get_spyral_io_lib(with_h5=True)
+    if lib is None or not lib.sio_h5_mem_available():
+        import pytest
+
+        pytest.skip("native in-memory HDF5 writer unavailable")
+
+    pipeline = KinematicsPipeline(
+        [
+            Reaction(
+                target=nuclear_map.get_data(1, 2),
+                projectile=nuclear_map.get_data(6, 12),
+                ejectile=nuclear_map.get_data(1, 1),
+            )
+        ],
+        [ExcitationGaussian(0.0, 0.0)],
+        [PolarUniform(0.0, np.pi)],
+        120.0,
+    )
+    kine = tmp_path / "k.h5"
+    run_kinematics_pipeline(pipeline, 12, kine, batch_size=12, seed=55,
+                            show_progress=False)
+    config = Config(
+        DetectorParams(1.0, 45000.0, 2.85, 175000, gas, 0.277, 0.2, 34.0),
+        ElectronicsParams(6.25, 900, 1000, 10, 560, 40),
+        PadParams(),
+    )
+    engine = EngineParams(
+        n_time_steps=1000, chunk_steps=250, point_budget=2048,
+        out_budget=8192, events_per_batch=6,
+    )
+    d_plain = tmp_path / "plain"
+    d_mix = tmp_path / "mix"
+    d_plain.mkdir()
+    (d_mix / ".recycle").mkdir(parents=True)
+    (d_mix / ".recycle" / "spare.h5").write_bytes(b"\xcd" * (1 << 19))
+
+    run_simulation(config, kine, SpyralWriterProc(d_plain, config, 4),
+                   engine=engine, seed=9, show_progress=False)
+    run_simulation(config, kine,
+                   SpyralWriterProc(d_mix, config, 4, n_shards=2),
+                   engine=engine, seed=9, show_progress=False)
+
+    files_a = sorted(glob.glob(str(d_plain / "run_*.h5")))
+    files_b = sorted(glob.glob(str(d_mix / "run_*.h5")))
+    assert [f.split("/")[-1] for f in files_a] == [
+        f.split("/")[-1] for f in files_b
+    ]
+    assert len(files_a) >= 3
+    for fa, fb in zip(files_a, files_b):
+        with h5py.File(fa) as a, h5py.File(fb) as b:
+            ga, gb = a["cloud"], b["cloud"]
+            assert set(ga.keys()) == set(gb.keys()), fa
+            assert dict(ga.attrs) == dict(gb.attrs), fa
+            for k in ga.keys():
+                np.testing.assert_array_equal(
+                    np.asarray(ga[k]), np.asarray(gb[k]), err_msg=k
+                )
