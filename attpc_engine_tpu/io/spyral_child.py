@@ -233,6 +233,7 @@ class ChildWriter:
 
     def __init__(self, directory, max_events, first_run, compression,
                  native=None, run_stride=1):
+        os.makedirs(directory, exist_ok=True)
         self.directory = directory
         self.max_events = max_events
         self.run_number = first_run
