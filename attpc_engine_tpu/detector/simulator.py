@@ -831,7 +831,12 @@ def run_simulation(
     same seed and ``start_event`` (paired with the writer's
     ``first_run_number``) reproduces exactly the events it would have
     produced — restartability the reference only offers at whole-run
-    granularity (SURVEY.md section 5).
+    granularity (SURVEY.md section 5). Bit-exact resume requires
+    ``start_event`` to sit on the original run's events_per_batch grid
+    (the per-event device draws fold the batch start); the host-side TB
+    wiggle alone is per-event and batch-invariant. An unaligned resume is
+    statistically equivalent but not bit-identical
+    (tests/test_end_to_end.py::test_resume_reproduces_one_shot).
     """
     from ..io.kinematics_file import KinematicsReader
     from ..io.spyral_child import tune_malloc

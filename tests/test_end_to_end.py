@@ -419,3 +419,58 @@ def test_steps_probe_ladder_matches_full_window(tmp_path):
             assert ea[k].keys() == eb[k].keys(), k
             for key in ea[k]:
                 assert ea[k][key] == eb[k][key], (k, key)
+
+
+def test_resume_reproduces_one_shot(tmp_path):
+    """The documented resume contract: rerunning with the same seed and
+    start_event reproduces the interrupted run's remaining events with
+    identical dataset values (keys derive from the event range; the TB
+    wiggle is a per-event Philox stream). Bit-exactness requires the
+    resume point to sit on the original run's events_per_batch grid — the
+    per-event device draws fold the batch start (run_simulation docstring
+    states this); an unaligned resume is only statistically equivalent."""
+    import glob
+
+    import h5py
+
+    from attpc_engine_tpu.detector import SpyralWriterProc
+
+    kine = tmp_path / "k.h5"
+    config = _config()
+    engine = EngineParams(
+        n_time_steps=1000, chunk_steps=250, point_budget=2048,
+        out_budget=8192, events_per_batch=5,
+    )
+    run_kinematics_pipeline(_pipeline(), 12, kine, batch_size=12, seed=21,
+                            show_progress=False)
+
+    def collect(dirs):
+        out = {}
+        for d in dirs:
+            for fn in glob.glob(str(d / "run_*.h5")):
+                with h5py.File(fn) as f:
+                    g = f["cloud"]
+                    for k in g.keys():
+                        if k.startswith("cloud_"):
+                            out[int(k.split("_")[1])] = np.asarray(g[k])
+        return out
+
+    d_full = tmp_path / "full"
+    run_simulation(config, kine, SpyralWriterProc(d_full, config, 100),
+                   engine=engine, seed=3, show_progress=False)
+
+    d_a = tmp_path / "part_a"
+    d_b = tmp_path / "part_b"
+    run_simulation(config, kine, SpyralWriterProc(d_a, config, 100),
+                   engine=engine, seed=3, show_progress=False,
+                   stop_event=5)
+    run_simulation(config, kine,
+                   SpyralWriterProc(d_b, config, 100, first_run_number=1),
+                   engine=engine, seed=3, show_progress=False,
+                   start_event=5)
+
+    full = collect([d_full])
+    split = collect([d_a, d_b])
+    assert set(full) == set(split) and len(full) >= 10
+    for ev in full:
+        np.testing.assert_array_equal(full[ev], split[ev], err_msg=str(ev))
