@@ -572,6 +572,16 @@ extern "C" int sio_h5_close_mem(void* handle, int64_t min_event,
         // "page-fault tax").
         int fd = ::open(path, O_RDWR | O_CREAT, 0644);
         if (fd < 0) {
+            // a bad recycled predecessor (wrong perms/type) must not lose
+            // the batch: drop it and create fresh (paying the fault tax
+            // once for this file only)
+            std::fprintf(stderr, "[spyral_io] open(%s) failed (%s); "
+                         "retrying with a fresh file\n",
+                         path, std::strerror(errno));
+            ::unlink(path);
+            fd = ::open(path, O_RDWR | O_CREAT, 0644);
+        }
+        if (fd < 0) {
             std::fprintf(stderr, "[spyral_io] open(%s) failed: %s\n", path,
                          std::strerror(errno));
             rc = -6;
@@ -582,7 +592,11 @@ extern "C" int sio_h5_close_mem(void* handle, int64_t min_event,
                 ssize_t n = ::pwrite(fd, data + off,
                                      static_cast<size_t>(img - off),
                                      static_cast<off_t>(off));
+                if (n < 0 && errno == EINTR) continue;
                 if (n <= 0) {
+                    std::fprintf(stderr,
+                                 "[spyral_io] pwrite(%s) failed: %s\n",
+                                 path, std::strerror(errno));
                     rc = -7;
                     break;
                 }
