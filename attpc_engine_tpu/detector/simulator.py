@@ -868,11 +868,15 @@ def run_simulation(
     # pin the key chain to the host CPU backend: threefry values are
     # backend-independent, and deriving the per-batch key on host avoids
     # launching a tiny accelerator program (one extra tunnel round trip)
-    # every batch just to fold in the event start
+    # every batch just to fold in the event start. The base key must be
+    # COMMITTED to the CPU device (device_put) — a key merely created
+    # under default_device(cpu) is uncommitted and fold_in would migrate
+    # it back to the accelerator. The loop converts each folded key to
+    # numpy so the sim program's own placement is unconstrained.
     try:
-        _cpu = jax.devices("cpu")[0]
-        with jax.default_device(_cpu):
-            base_key = jax.random.PRNGKey(seed)
+        base_key = jax.device_put(
+            jax.random.PRNGKey(seed), jax.devices("cpu")[0]
+        )
     except RuntimeError:
         base_key = jax.random.PRNGKey(seed)
 
@@ -1115,7 +1119,9 @@ def run_simulation(
                 momenta = np.concatenate(
                     [momenta, np.zeros((pad_n,) + momenta.shape[1:])]
                 )
-            key = jax.random.fold_in(base_key, start)
+            # folded on CPU (base_key is CPU-committed); handed to the sim
+            # as numpy so it does not constrain the program's placement
+            key = np.asarray(jax.random.fold_in(base_key, start))
             for _attempt in range(8):
                 with phase_timer(times, "dispatch"):
                     out = sim.simulate_batch(

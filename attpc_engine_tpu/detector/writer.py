@@ -256,6 +256,7 @@ class SpyralWriterProc:
         max_outstanding: int = 4,
         n_shards: int = 1,
         run_stride: int = 1,
+        owns_first_file: bool = True,
     ):
         import subprocess
         import sys
@@ -279,7 +280,7 @@ class SpyralWriterProc:
                 SpyralWriterProc(
                     directory_path, config, max_events_per_file,
                     first_run_number + i, compression, max_outstanding,
-                    run_stride=n_shards,
+                    run_stride=n_shards, owns_first_file=(i == 0),
                 )
                 for i in range(n_shards)
             ]
@@ -327,6 +328,7 @@ class SpyralWriterProc:
                 str(first_run_number),
                 compression or "-",
                 str(run_stride),
+                "1" if owns_first_file else "0",
             ],
             stdin=subprocess.PIPE,
             stdout=subprocess.PIPE,

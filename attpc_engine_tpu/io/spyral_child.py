@@ -232,7 +232,7 @@ class ChildWriter:
     """
 
     def __init__(self, directory, max_events, first_run, compression,
-                 native=None, run_stride=1):
+                 native=None, run_stride=1, owns_first_file=True):
         os.makedirs(directory, exist_ok=True)
         self.directory = directory
         self.max_events = max_events
@@ -246,10 +246,14 @@ class ChildWriter:
         # striped mode (run_stride > 1, see SpyralWriterProc n_shards):
         # this child owns every run_stride-th run file. Its first file is
         # opened lazily on the first routed event (so a shard that never
-        # receives events leaves no stray empty file) and min_event is the
-        # actual first event instead of the reference's always-0 quirk
-        # (which only holds for the unsharded writer).
+        # receives events leaves no stray empty file). min_event parity
+        # with the single-child writer: the run's FIRST file keeps the
+        # reference's min_event = 0 quirk (starting_event is never
+        # reassigned before the first rotation, reference writer.py:175),
+        # while every later file starts at its first written event — so
+        # only the shard owning file 0 (owns_first_file) keeps 0.
         self._opened = run_stride == 1
+        self._first_file_zero = owns_first_file
         if compression == "gzip":
             self.kwargs = {"compression": "gzip", "compression_opts": 1}
         elif compression and compression != "-":
@@ -299,10 +303,14 @@ class ChildWriter:
             self._open()
 
     def _first_open(self, first_event: int) -> None:
-        """Striped mode: open this shard's first file at its actual first
-        routed event (single-child mode opens eagerly in __init__)."""
+        """Striped mode: open this shard's first file lazily (single-child
+        mode opens eagerly in __init__). min_event matches what the
+        single-child writer would record for the same file: 0 for the
+        run's first file (the reference quirk), the first written event
+        otherwise."""
         self._open()
-        self.starting_event = first_event
+        if not self._first_file_zero:
+            self.starting_event = first_event
         self._opened = True
 
     def _open(self):
@@ -515,13 +523,14 @@ def main() -> int:
 
     tables_path, directory, max_events, first_run, compression = sys.argv[1:6]
     run_stride = int(sys.argv[6]) if len(sys.argv) > 6 else 1
+    owns_first = (sys.argv[7] != "0") if len(sys.argv) > 7 else True
     if os.environ.get("ATTPC_CHILD_TIMING"):
         print(f"[spyral-child] main() at {time.time():.3f}", file=sys.stderr)
     tune_malloc()  # keep big numpy/HDF5 buffers heap-warm (page-fault tax)
     tables = dict(np.load(tables_path))
     writer = ChildWriter(directory, int(max_events), int(first_run),
                          compression, native=load_native(),
-                         run_stride=run_stride)
+                         run_stride=run_stride, owns_first_file=owns_first)
     native = writer._native
     if native is not None:
         # contiguous f64 views the C assembler indexes directly

@@ -138,36 +138,16 @@ def main() -> None:
 
     # Recycled in-memory run files (BASELINE.md "page-fault tax"): seed a
     # spare pool during the untimed warmup and keep returning completed
-    # run files to it, so the writer child's steady-state loop touches
-    # only pages it already owns. BENCH_RECYCLE=0 forces the plain path.
-    pruner_stop = None
+    # run files to it (a separate pruner PROCESS — the tunnel client is
+    # GIL-sensitive — with a bounded pool so a plain-path fallback that
+    # never consumes spares cannot fill the disk). BENCH_RECYCLE=0 forces
+    # the plain path.
+    pruner = None
     if os.environ.get("BENCH_RECYCLE", "1") != "0":
-        import threading
+        from attpc_engine_tpu.io.recycle import seed_spares, spawn_pruner
 
-        rdir = cloud_dir / ".recycle"
-        rdir.mkdir(exist_ok=True)
-        spare_bytes = 5_000 * 3_000 * 80 * 115 // 100  # ~1.4 GB
-        blk = b"\0" * (64 << 20)
-        for i in range(2):
-            spare = rdir / f"spare_{i}.h5"
-            if not spare.exists() or spare.stat().st_size < spare_bytes:
-                with open(spare, "wb") as f:
-                    left = spare_bytes
-                    while left > 0:
-                        f.write(blk[: min(left, len(blk))])
-                        left -= len(blk)
-        pruner_stop = threading.Event()
-
-        def _pruner():
-            while not pruner_stop.is_set():
-                for f in sorted(cloud_dir.glob("run_*.h5"))[:-2]:
-                    try:
-                        f.rename(rdir / f.name)
-                    except OSError:
-                        pass
-                pruner_stop.wait(0.5)
-
-        threading.Thread(target=_pruner, daemon=True).start()
+        seed_spares(cloud_dir, n=2)
+        pruner = spawn_pruner(cloud_dir, keep=2, max_spares=3)
 
     # ---- warmup / compile (excluded from the timed run) ---------------- #
     # Exactly the timed run's program shapes, each compiled ONCE: the
@@ -216,8 +196,8 @@ def main() -> None:
         f"({n_events / det_s:.0f} ev/s), total {total_s:.2f}s",
         file=sys.stderr,
     )
-    if pruner_stop is not None:
-        pruner_stop.set()
+    if pruner is not None:
+        pruner.terminate()
     print(
         json.dumps(
             {

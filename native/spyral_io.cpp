@@ -223,7 +223,6 @@ struct H5Api {
     herr (*set_fapl_core)(hid, size_t, unsigned) = nullptr;
     int64_t (*get_file_image)(hid, void*, size_t) = nullptr;  // ssize_t
     herr (*fflush)(hid, int) = nullptr;
-    herr (*set_image_cbs)(hid, const void*) = nullptr;
     hid cls_facc = -1;
     hid t_f64le = -1, t_i64le = -1, t_nat_f64 = -1, t_nat_i64 = -1;
     hid s_scalar = -1;
@@ -289,9 +288,7 @@ extern "C" int sio_h5_init(const char* libpath) {
                   resolve(lib, "H5Pclose", g_h5.pclose) &&
                   resolve(lib, "H5Pset_fapl_core", g_h5.set_fapl_core) &&
                   resolve(lib, "H5Fget_file_image", g_h5.get_file_image) &&
-                  resolve(lib, "H5Fflush", g_h5.fflush) &&
-                  resolve(lib, "H5Pset_file_image_callbacks",
-                          g_h5.set_image_cbs);
+                  resolve(lib, "H5Fflush", g_h5.fflush);
     if (mem_ok) {
         g_h5.cls_facc = global_hid(lib, "H5P_CLS_FILE_ACCESS_ID_g");
         mem_ok = g_h5.cls_facc >= 0;

@@ -30,40 +30,20 @@ def main() -> None:
     outdir = Path(os.environ.get("WB_OUTDIR", "/dev/shm")) / "wb_clouds"
     shutil.rmtree(outdir, ignore_errors=True)
     outdir.mkdir(parents=True)
-    pruner_stop = None
+    pruner = None
     if os.environ.get("WB_RECYCLE"):
         # opt into the in-memory image path with recycled destinations:
         # pre-seed warm spares OUTSIDE the timed region, then keep
-        # recycling completed run files back into the pool exactly like
-        # tools/run_1m_soak.sh's pruner — without the return flow every
+        # recycling completed run files back into the pool (separate
+        # pruner process, bounded pool) — without the return flow every
         # rotation past the seeds hits a FRESH destination path and pays
         # the full first-touch cost in one pwrite, which is the soak's
         # worst case, not its steady state
-        import threading
+        from attpc_engine_tpu.io.recycle import seed_spares, spawn_pruner
 
-        rdir = outdir / ".recycle"
-        rdir.mkdir()
-        spare_bytes = int(mean_rows * 5000 * 80 * 1.15)
-        blk = b"\0" * (64 << 20)
-        for i in range(2):
-            with open(rdir / f"spare_{i}.h5", "wb") as f:
-                left = spare_bytes
-                while left > 0:
-                    f.write(blk[: min(left, len(blk))])
-                    left -= len(blk)
-        pruner_stop = threading.Event()
-
-        def _pruner():
-            while not pruner_stop.is_set():
-                files = sorted(outdir.glob("run_*.h5"))
-                for f in files[:-2]:  # keep the 2 newest in place
-                    try:
-                        f.rename(rdir / f.name)
-                    except OSError:
-                        pass
-                pruner_stop.wait(0.5)
-
-        threading.Thread(target=_pruner, daemon=True).start()
+        seed_spares(outdir, n=2,
+                    spare_bytes=int(mean_rows * 5000 * 80 * 1.15))
+        pruner = spawn_pruner(outdir, keep=2, max_spares=3)
 
     from attpc_engine_tpu import nuclear_map
     from attpc_engine_tpu.nuclear import GasTarget
@@ -120,8 +100,8 @@ def main() -> None:
     t_sub = time.perf_counter() - t0
     writer.close()
     dt = time.perf_counter() - t0
-    if pruner_stop is not None:
-        pruner_stop.set()
+    if pruner is not None:
+        pruner.terminate()
     ev = n_batches * batch
     import resource
 

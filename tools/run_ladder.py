@@ -159,7 +159,12 @@ def main() -> None:
     kine4 = base / "c4_kine.h5"
     clouds = base / "c4_clouds"
     clouds.mkdir()
-    (clouds / ".recycle").mkdir()  # recycled in-memory run files
+    # recycled in-memory run files: seed the pool + return flow (separate
+    # pruner process, bounded) so the mem path actually sees warm spares
+    from attpc_engine_tpu.io.recycle import seed_spares, spawn_pruner
+
+    seed_spares(clouds, n=2)
+    pruner = spawn_pruner(clouds, keep=2, max_spares=3)
     run_kinematics_pipeline(pipe4, n4, kine4, batch_size=min(n4, 65536),
                             seed=1, show_progress=False)
     # warm the detector programs (budget probe + tuned shapes)
@@ -177,6 +182,7 @@ def main() -> None:
         results["config4_full_detector"],
         note="same fused program as config 4 (response inseparable)",
     )
+    pruner.terminate()
 
     print(json.dumps(results))
 
