@@ -159,6 +159,10 @@ def main() -> None:
     # shapes are identical and every compilation happens here, not in the
     # timed region.
     t0 = time.perf_counter()
+    cache_dir = Path(jax.config.jax_compilation_cache_dir)
+    cache_before = (
+        {p.name for p in cache_dir.iterdir()} if cache_dir.is_dir() else set()
+    )
     kine_batch = min(65536, n_events)
     warm_path = outdir / "warm.h5"
     run_kinematics_pipeline(
@@ -169,7 +173,19 @@ def main() -> None:
     run_simulation(config, warm_path, writer, engine=engine, seed=1,
                    show_progress=False, stop_event=det_batch * 2)
     compile_s = time.perf_counter() - t0
-    print(f"[bench] warmup/compile: {compile_s:.1f}s", file=sys.stderr)
+    # persistent-cache hit log: every program slow enough to persist
+    # (>2 s) that had to be XLA-compiled this run leaves a new cache file;
+    # 0 new entries = the whole warmup was served from the cache.
+    new_entries = (
+        sorted({p.name for p in cache_dir.iterdir()} - cache_before)
+        if cache_dir.is_dir()
+        else []
+    )
+    print(
+        f"[bench] warmup/compile: {compile_s:.1f}s "
+        f"(persistent-cache misses: {len(new_entries)} new entries)",
+        file=sys.stderr,
+    )
 
     # ---- timed end-to-end run ------------------------------------------ #
     t1 = time.perf_counter()
