@@ -186,6 +186,25 @@ def test_stopping_carbon_flagship_regime():
     assert 8.6 < ratio < 9.05  # stripped limit 9, slight C deficit at 10 MeV/u
 
 
+def test_stopping_isotope_velocity_scaling():
+    """Electronic stopping depends on (z, beta) only, so hydrogen isotopes
+    at the SAME velocity must have the same mass stopping power. This pins
+    the projectile-mass handling (beta from KE/m, not KE/A) that no
+    external table exercises; the tiny residual is the mass-dependent ZBL
+    nuclear term (~3e-5 of electronic at these energies)."""
+    from attpc_engine_tpu.nuclear.stopping import mass_stopping_power
+
+    d2 = [(1, 2, 1.0)]
+    m_p, m_d, m_t = 938.272, 1875.613, 2808.921
+    for ke_p in (2.0, 10.0, 30.0):
+        g = 1.0 + ke_p / m_p
+        s_p = mass_stopping_power(1, m_p, np.array([ke_p]), d2)[0]
+        for m in (m_d, m_t):
+            ke_x = (g - 1.0) * m  # same gamma -> same beta
+            s_x = mass_stopping_power(1, m, np.array([ke_x]), d2)[0]
+            assert s_x == pytest.approx(s_p, rel=5e-4), (ke_p, m)
+
+
 def test_stopping_low_energy_positive_and_continuous():
     """The low-energy construction (E^0.45 tail + LS floor + ZBL nuclear)
     must be positive and free of large jumps down to 1 keV/u."""
