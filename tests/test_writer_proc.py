@@ -418,3 +418,39 @@ def test_writer_striped_plus_recycle_identical(tmp_path):
                 np.testing.assert_array_equal(
                     np.asarray(ga[k]), np.asarray(gb[k]), err_msg=k
                 )
+
+
+def test_recycle_helpers(tmp_path):
+    """seed_spares creates a bounded pool idempotently; the pruner process
+    keeps the newest `keep` run files, returns the rest to the pool, and
+    deletes beyond max_spares so the pool cannot grow without bound."""
+    import time
+
+    from attpc_engine_tpu.io.recycle import seed_spares, spawn_pruner
+
+    rdir = seed_spares(tmp_path, n=2, spare_bytes=4096)
+    assert rdir == tmp_path / ".recycle"
+    spares = sorted(p.name for p in rdir.glob("*.h5"))
+    assert spares == ["spare_0.h5", "spare_1.h5"]
+    assert all(p.stat().st_size >= 4096 for p in rdir.glob("*.h5"))
+    seed_spares(tmp_path, n=2, spare_bytes=4096)  # idempotent
+    assert sorted(p.name for p in rdir.glob("*.h5")) == spares
+
+    for i in range(6):
+        (tmp_path / f"run_{i:04d}.h5").write_bytes(b"x")
+    proc = spawn_pruner(tmp_path, keep=2, max_spares=3)
+    try:
+        deadline = time.time() + 15.0
+        runs: list = []
+        while time.time() < deadline:
+            runs = sorted(p.name for p in tmp_path.glob("run_*.h5"))
+            if runs == ["run_0004.h5", "run_0005.h5"]:
+                break
+            time.sleep(0.2)
+        assert runs == ["run_0004.h5", "run_0005.h5"]
+        # 2 seeded + 4 pruned candidates, bounded at 3
+        assert len(list(rdir.glob("*.h5"))) <= 3
+        assert proc.poll() is None  # pruner stays alive until terminated
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
