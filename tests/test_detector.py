@@ -330,3 +330,53 @@ def test_simulate_cache_key_is_content_based():
     assert _engine_fingerprint(fast_engine) == _engine_fingerprint(
         EngineParams(**fast_engine.__dict__)
     )
+
+
+def test_get_response_independent_formula():
+    """get_response vs an independently-written evaluation of the published
+    GET response (reference response.py:8-31): r = c1 e^{-3c2} c2^3 sin(c2)
+    with c1 = 4095 e / (amp_gain fC), c2 = tb/(shaping_ns * clock_MHz * 1e-3),
+    sampled on the reference's linspace(0, 512, 512) grid (NOT 0..511),
+    negatives clipped. Values are checked point-by-point, plus landmark
+    properties: r[0] == 0, the peak sits where d/dc2 [e^{-3c2} c2^3 sin(c2)]
+    crosses zero, and the first zero of sin(c2) bounds the positive lobe."""
+    import math
+
+    from attpc_engine_tpu.detector.response import apply_response, get_response
+
+    config = Config(detector, electronics, pads)
+    ep = config.elec_params
+    got = np.asarray(get_response(config), dtype=np.float64)
+    assert got.shape == (512,)
+
+    e_charge = 1.602176634e-19
+    c1 = 4095.0 * e_charge / ep.amp_gain / 1e-15
+    expected = np.empty(512)
+    for i in range(512):
+        tb = 512.0 * i / 511.0  # linspace(0, 512, 512) endpoint included
+        c2 = tb / (ep.shaping_time * ep.clock_freq * 0.001)
+        r = c1 * math.exp(-3.0 * c2) * c2**3 * math.sin(c2)
+        expected[i] = max(r, 0.0)
+    np.testing.assert_allclose(got, expected, rtol=1e-12, atol=0.0)
+
+    assert got[0] == 0.0
+    # 3 c2^2 sin + c2^3 cos = 3 c2^3 sin  =>  tan(c2) = c2 / (3 c2 - 3)
+    # (peak of the positive lobe); just assert the argmax's neighbors are
+    # lower and the lobe ends before sin's first zero c2 = pi
+    k = int(np.argmax(got))
+    assert got[k - 1] < got[k] and got[k] > got[k + 1]
+    # sin(c2) < 0 on (pi, 2pi) is clipped to exactly 0; later positive
+    # lobes survive but e^{-3 c2} suppresses them to <1e-4 of the peak
+    # (second lobe tops out ~5e-6 of it at these electronics params)
+    scale = ep.shaping_time * ep.clock_freq * 0.001
+    grid = np.linspace(0.0, 512.0, 512)
+    c2g = grid / scale
+    neg_lobe = (c2g > math.pi + 1e-9) & (c2g < 2.0 * math.pi - 1e-9)
+    assert neg_lobe.any() and np.all(got[neg_lobe] == 0.0)
+    assert np.all(got[c2g > math.pi + 1e-9] < 1e-4 * got.max())
+
+    # apply_response: amplitude = max of the ADC-clipped trace, integral = sum
+    q = 3.0 / got.max() * 4095.0  # scale so the peak clips
+    amp, integral = apply_response(got, q)
+    assert amp == 4095.0
+    assert integral == pytest.approx(np.minimum(got * q, 4095.0).sum())
