@@ -61,7 +61,6 @@ def main() -> None:
     from attpc_engine_tpu import nuclear_map
 
     config = fc._make_config(diffusion=0.277)
-    pipeline, vertices, momenta = None, None, None
     # sample the events with the engine's kinematics (negligible cost next
     # to the serial detector chain; the reference's own kinematics stage
     # runs >1k ev/s and would not move the denominator)

@@ -5,9 +5,11 @@ schema the reference's SpyralWriter produces and downstream Spyral-style
 analysis expects (/root/reference/src/attpc_engine/detector/writer.py:
 194-263):
 
-- ``/cloud`` group attrs ``min_event``/``max_event`` consistent with the
-  cloud_N keys present (every N in [min, max] present — zero-point events
-  get empty datasets; only raw-empty events may gap),
+- ``/cloud`` group attrs ``min_event``/``max_event`` bound the cloud_N
+  keys present. Gaps inside the range are LEGAL (the reference skips
+  raw-empty events entirely — simulator.py:204-205 — while zero-point
+  events still get empty datasets); the tool reports the gap count per
+  file informationally,
 - ``cloud_N``: float64 [n, 8] sorted ascending in z (col 2), amplitudes
   in (adc_threshold, 4095] when a threshold is given (col 3), integrals
   positive (col 4), pad ids in [0, 10240) (col 5), tb floats in [0, 512)
@@ -31,17 +33,25 @@ import numpy as np
 IC_ATTRS = ("ic_amplitude", "ic_multiplicity", "ic_integral", "ic_centroid")
 
 
-def validate_file(path: Path, adc: float | None, errors: list[str]) -> tuple[int, int]:
-    """Returns (n_events, n_points); appends problems to ``errors``."""
+def validate_file(
+    path: Path, adc: float | None, errors: list[str]
+) -> tuple[int, int, int, tuple[int, int] | None]:
+    """Returns (n_events, n_points, n_gaps, (min_event, max_event) or None
+    when the file is malformed); appends problems to ``errors``."""
     n_points = 0
-    with h5py.File(path, "r") as f:
+    try:
+        f = h5py.File(path, "r")
+    except OSError as exc:
+        errors.append(f"{path.name}: unreadable HDF5 ({exc})")
+        return 0, 0, 0, None
+    with f:
         if "cloud" not in f:
             errors.append(f"{path.name}: no /cloud group")
-            return 0, 0
+            return 0, 0, 0, None
         g = f["cloud"]
         if "min_event" not in g.attrs or "max_event" not in g.attrs:
             errors.append(f"{path.name}: missing min/max_event attrs")
-            return 0, 0
+            return 0, 0, 0, None
         lo, hi = int(g.attrs["min_event"]), int(g.attrs["max_event"])
         events = sorted(
             int(k.split("_")[1]) for k in g.keys() if k.startswith("cloud_")
@@ -79,7 +89,8 @@ def validate_file(path: Path, adc: float | None, errors: list[str]) -> tuple[int
                 errors.append(f"{name}: non-positive pad size")
             if not np.all(c[:, 4] > 0):
                 errors.append(f"{name}: non-positive integral")
-    return len(events), n_points
+        n_gaps = (hi - lo + 1 - len(events)) if events else 0
+    return len(events), n_points, n_gaps, (lo, hi)
 
 
 def main() -> None:
@@ -96,13 +107,13 @@ def main() -> None:
     ranges = []
     total_ev = total_pts = 0
     for path in files:
-        ne, np_ = validate_file(path, adc, errors)
-        with h5py.File(path, "r") as f:
-            g = f["cloud"]
-            ranges.append((int(g.attrs["min_event"]), int(g.attrs["max_event"]), path.name))
+        ne, np_, gaps, rng = validate_file(path, adc, errors)
+        if rng is not None:
+            ranges.append((rng[0], rng[1], path.name))
         total_ev += ne
         total_pts += np_
-        print(f"{path.name}: {ne} events, {np_} points")
+        gap_note = f" ({gaps} raw-empty gaps)" if gaps else ""
+        print(f"{path.name}: {ne} events, {np_} points{gap_note}")
     ranges.sort()
     for (l1, h1, n1), (l2, h2, n2) in zip(ranges, ranges[1:]):
         if l2 <= h1:
