@@ -50,6 +50,11 @@ def main() -> None:
 
     import jax
 
+    if os.environ.get("BENCH_PLATFORM"):
+        # e.g. BENCH_PLATFORM=cpu for a smoke run without the TPU tunnel
+        # (the JAX_PLATFORMS env var is ignored by the axon plugin; the
+        # config knob works)
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     jax.config.update(
         "jax_compilation_cache_dir",
         os.environ.get("BENCH_CACHE_DIR", "/root/.cache/jax_comp"),

@@ -1,0 +1,50 @@
+"""Smoke-test the benchmark entry points off-TPU.
+
+bench.py is the driver's round-end measurement; a regression in it is
+otherwise only discovered on TPU hardware. BENCH_PLATFORM=cpu runs the
+identical code path (warmup with cache-miss accounting, recycle pool +
+pruner, SpyralWriterProc, timed two-stage run, JSON line) on the CPU
+backend in a subprocess.
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def test_bench_cpu_smoke(tmp_path):
+    env = dict(os.environ)
+    env.update(
+        BENCH_PLATFORM="cpu",
+        BENCH_EVENTS="32",
+        BENCH_BATCH="16",
+        BENCH_OUTDIR=str(tmp_path / "out"),
+        BENCH_CACHE_DIR=str(tmp_path / "cache"),
+        # the parent test process pins jax to CPU via conftest; the child
+        # must not inherit a stale JAX_PLATFORMS=axon grab
+    )
+    (tmp_path / "out").mkdir()
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=900,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    # last stdout line is the one JSON metric line
+    line = proc.stdout.strip().splitlines()[-1]
+    result = json.loads(line)
+    assert result["metric"] == "full_pipeline_events_per_sec"
+    assert result["value"] > 0
+    assert result["unit"] == "events/s"
+    assert 0 < result["vs_baseline"] < 1
+    assert "persistent-cache misses" in proc.stderr
+    # the run produced real output files through the full writer path
+    clouds = tmp_path / "out" / "clouds"
+    assert any(clouds.glob("run_*.h5"))
