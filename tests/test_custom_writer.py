@@ -109,3 +109,69 @@ def test_spyral_writer_lzf_compression(tmp_path):
             got = np.asarray(f["cloud/cloud_0"])
             assert np.array_equal(got, spyral)
             assert np.array_equal(np.asarray(f["cloud/labels_0"]), labels)
+
+
+def test_validate_spyral_tool(tmp_path):
+    """tools/validate_spyral.py passes real engine output and catches
+    injected contract violations + unreadable files."""
+    import importlib.util
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "validate_spyral", repo / "tools" / "validate_spyral.py"
+    )
+    vs = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(vs)
+
+    # a real output dir from the engine
+    out = subprocess.run(
+        [sys.executable, str(repo / "tools" / "validate_spyral.py")],
+        capture_output=True, text=True,
+    )
+    assert out.returncode == 2  # usage
+
+    clouds = tmp_path / "clouds"
+    clouds.mkdir()
+    import h5py
+    import numpy as np
+
+    with h5py.File(clouds / "run_0000.h5", "w") as f:
+        g = f.create_group("cloud")
+        g.attrs["min_event"] = 0
+        g.attrs["max_event"] = 1
+        rows = np.zeros((3, 8))
+        rows[:, 2] = [1.0, 2.0, 3.0]   # z ascending
+        rows[:, 3] = [100.0, 200.0, 4095.0]
+        rows[:, 4] = 1.0
+        rows[:, 5] = [0, 5, 10239]
+        rows[:, 6] = [0.5, 100.2, 511.9]
+        rows[:, 7] = 1.0
+        d = g.create_dataset("cloud_0", data=rows)
+        for a in ("ic_amplitude", "ic_multiplicity", "ic_integral", "ic_centroid"):
+            d.attrs[a] = -1.0
+        d.attrs["orig_run"] = 0
+        d.attrs["orig_event"] = 0
+        g.create_dataset("labels_0", data=np.zeros(3, dtype=np.int64))
+
+    errors: list = []
+    ne, npts, gaps, rng = vs.validate_file(clouds / "run_0000.h5", 40.0, errors)
+    assert (ne, npts, gaps, rng) == (1, 3, 1, (0, 1)) and errors == []
+
+    # violations: bad pad id + broken z order + truncated second file
+    with h5py.File(clouds / "run_0000.h5", "r+") as f:
+        d = f["cloud/cloud_0"]
+        rows = d[...]
+        rows[0, 5] = 99999
+        rows[:, 2] = rows[::-1, 2]
+        d[...] = rows
+    (clouds / "run_0001.h5").write_bytes(b"not hdf5")
+    errors = []
+    vs.validate_file(clouds / "run_0000.h5", 40.0, errors)
+    vs.validate_file(clouds / "run_0001.h5", 40.0, errors)
+    msgs = " | ".join(errors)
+    assert "pad id out of range" in msgs
+    assert "z not ascending" in msgs
+    assert "unreadable HDF5" in msgs
