@@ -248,3 +248,62 @@ def test_polar_uniform_statistics():
     # Kolmogorov-Smirnov-ish check: mean ~ 0, uniform moments
     assert abs(cos_th.mean()) < 0.02
     assert abs((cos_th**2).mean() - 1.0 / 3.0) < 0.01
+
+
+def test_vertex_and_beam_energy_loss_statistics():
+    """Vertex sampling semantics (reference pipeline.py:246-264): rho is
+    |N(0, rho_sigma)|, theta uniform in [0, 2pi), z uniform in z_range, and
+    the projectile's kinetic energy at the vertex is the beam energy minus
+    the gas energy loss over z — checked statistically on a 16k batch and
+    against GasTarget.get_energy_loss directly."""
+    from attpc_engine_tpu.kinematics import KinematicsTargetMaterial
+    from attpc_engine_tpu.nuclear import GasTarget
+
+    gas = GasTarget([(1, 2, 2)], 300.0, nuclear_map)
+    beam_energy = 120.0
+    z_lo, z_hi, rho_sigma = 0.2, 0.8, 0.007
+    pipe = KinematicsPipeline(
+        [
+            Reaction(
+                target=nuclear_map.get_data(1, 2),
+                projectile=nuclear_map.get_data(6, 12),
+                ejectile=nuclear_map.get_data(1, 1),
+            )
+        ],
+        [ExcitationGaussian(0.0, 0.0)],
+        [PolarUniform(0.0, np.pi)],
+        beam_energy,
+        target_material=KinematicsTargetMaterial(
+            material=gas, z_range=(z_lo, z_hi), rho_sigma=rho_sigma
+        ),
+    )
+    n = 16384
+    vertices, momenta = pipe.run_batch(n, key=jax.random.PRNGKey(11))
+    vertices = np.asarray(vertices)
+    momenta = np.asarray(momenta)
+
+    z = vertices[:, 2]
+    assert z.min() >= z_lo and z.max() <= z_hi
+    assert np.mean(z) == pytest.approx((z_lo + z_hi) / 2, abs=0.005)
+    assert np.var(z) == pytest.approx((z_hi - z_lo) ** 2 / 12, rel=0.05)
+
+    rho = np.hypot(vertices[:, 0], vertices[:, 1])
+    # |N(0, s)|: mean = s*sqrt(2/pi), E[rho^2] = s^2
+    assert np.mean(rho) == pytest.approx(rho_sigma * np.sqrt(2 / np.pi), rel=0.03)
+    assert np.mean(rho**2) == pytest.approx(rho_sigma**2, rel=0.05)
+    # theta uniform: x and y symmetric around 0
+    assert abs(np.mean(vertices[:, 0])) < 3 * rho_sigma / np.sqrt(n)
+    assert abs(np.mean(vertices[:, 1])) < 3 * rho_sigma / np.sqrt(n)
+
+    # projectile (row 1) KE at the vertex = beam - get_energy_loss(z)
+    m_c12 = nuclear_map.get_data(6, 12).mass
+    ke = momenta[:, 1, 3] - m_c12
+    c12 = nuclear_map.get_data(6, 12)
+    expected = beam_energy - gas.get_energy_loss(c12, beam_energy, z)
+    np.testing.assert_allclose(ke, expected, rtol=1e-6)
+    # losses are physical: positive and increasing with depth
+    order = np.argsort(z)
+    assert np.all(ke < beam_energy)
+    binned = np.array_split(ke[order], 16)
+    means = [b.mean() for b in binned]
+    assert all(a > b for a, b in zip(means, means[1:]))
