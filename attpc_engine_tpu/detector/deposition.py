@@ -65,6 +65,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
+    "event_keys",
     "generate_electrons",
     "deposit_and_merge",
     "compact_cloud",
@@ -81,20 +82,62 @@ NUM_TB = 512
 KEY_SENTINEL = np.int32(2**31 - 1)
 
 
+def event_keys(key: jax.Array, n_events: int, event_start=0) -> jax.Array:
+    """Per-event PRNG keys [E, 2] from a base key and global event ids.
+
+    The device draws downstream (Fano smear, raw-cloud TB wiggle) consume
+    one key per EVENT, folded from the base key with the event's GLOBAL
+    index — so an event's random stream is independent of which batch it
+    rides in, and ``start_event`` resume is bit-exact for any
+    ``events_per_batch`` (reference analog: one numpy Generator consumed
+    event-by-event, simulator.py:118-210 — also layout-invariant).
+    """
+    ids = jnp.asarray(event_start, dtype=jnp.int32) + jnp.arange(
+        n_events, dtype=jnp.int32
+    )
+    return jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, ids)
+
+
 def generate_electrons(
-    key: jax.Array,
+    keys: jax.Array,
     dke: jax.Array,
     w_value: float,
     fano_factor: float,
+    chunk_steps: int | None = None,
 ) -> jax.Array:
     """Electrons created per deposit point (reference solver.py:331-347).
 
     n = |dKE| * 1e6 / w, Fano-smeared with sigma = sqrt(fano * n), truncated
     to integers (toward zero, as numpy's int cast does).
+
+    ``keys`` is one PRNG key per event ([E, 2], see ``event_keys``); the
+    batch layout [T, B] must be event-major (B = E*K). The noise for step
+    t of event i is drawn from fold_in(keys[i], t // chunk_steps), shape
+    (chunk_steps, K) per fold — so the stream is invariant both to the
+    batch layout AND to the tuned effective window length (the driver
+    retunes ``n_steps`` in multiples of the engine's ``chunk_steps``;
+    a longer window only appends chunks). ``chunk_steps=None`` uses a
+    single chunk spanning the whole window.
     """
+    t, b = dke.shape
+    e = keys.shape[0]
+    k = b // e
+    cs = t if chunk_steps is None else min(chunk_steps, t)
+    n_chunks = -(-t // cs)
+
+    def per_event(kk):
+        ck = jax.vmap(lambda c: jax.random.fold_in(kk, c))(
+            jnp.arange(n_chunks, dtype=jnp.int32)
+        )
+        return jax.vmap(
+            lambda key_c: jax.random.normal(key_c, (cs, k), dtype=jnp.float32)
+        )(ck).reshape(n_chunks * cs, k)
+
+    noise = jax.vmap(per_event)(keys)[:, :t]  # [E, T, K]
+    noise = jnp.transpose(noise, (1, 0, 2)).reshape(t, b)
     n_mean = dke * (1.0e6 / w_value)
     sigma = jnp.sqrt(fano_factor * n_mean)
-    n = n_mean + sigma * jax.random.normal(key, dke.shape, dtype=jnp.float32)
+    n = n_mean + sigma * noise
     return n.astype(jnp.int32)
 
 
@@ -130,7 +173,13 @@ def _run_last(keys: jax.Array) -> jax.Array:
     return jnp.concatenate([change, ones], axis=-1)
 
 
-def _merge_runs(packed: jax.Array, qv: jax.Array, cap: int, rank_bits: int):
+def _merge_runs(
+    packed: jax.Array,
+    qv: jax.Array,
+    cap: int,
+    rank_bits: int,
+    pallas_sort: bool = False,
+):
     """Merge per-row entries with equal (packed >> rank_bits) keys.
 
     The compile-safe TPU merge primitive of this engine: one unstable
@@ -142,6 +191,11 @@ def _merge_runs(packed: jax.Array, qv: jax.Array, cap: int, rank_bits: int):
     run-ends. (A segmented ``associative_scan`` consuming a sort's output
     makes the TPU compiler explode — 230 s / OOM, measured; this
     formulation compiles in seconds.)
+
+    ``pallas_sort=True`` runs both sorts through the in-VMEM Pallas
+    bitonic kernel (sort_pallas.py) — bit-exact by construction (same
+    lexicographic order on the same planes, tests/test_sort_pallas.py),
+    but paying HBM twice instead of once per network stage.
 
     packed: [E, W] int32, KEY_SENTINEL for dead lanes (their qv must be 0).
     qv: [E, W] f32 nonnegative charges.
@@ -172,8 +226,22 @@ def _merge_runs(packed: jax.Array, qv: jax.Array, cap: int, rank_bits: int):
         )
         return key, val
 
-    g = jax.lax.sort(pack64(packed, qv), dimension=1, is_stable=False)
-    packed, qq = unpack64(g)
+    def sort2(key_i32, val_f32):
+        """(key, f32 val) -> both sorted ascending-lexicographic."""
+        if pallas_sort:
+            from .sort_pallas import sort_pairs_pallas
+
+            kh, vb = sort_pairs_pallas(
+                key_i32, jax.lax.bitcast_convert_type(val_f32, jnp.int32)
+            )
+            return kh, jax.lax.bitcast_convert_type(
+                vb.astype(jnp.uint32), f32
+            )
+        g = jax.lax.sort(pack64(key_i32, val_f32), dimension=1,
+                         is_stable=False)
+        return unpack64(g)
+
+    packed, qq = sort2(packed, qv)
     ukey = packed >> rank_bits  # sentinel maps above every real key
     last = _run_last(ukey)
     real_last = last & (packed != KEY_SENTINEL)
@@ -185,15 +253,11 @@ def _merge_runs(packed: jax.Array, qv: jax.Array, cap: int, rank_bits: int):
 
     # compact the run-end rows (ascending key; prefix order is preserved
     # because c is nondecreasing and run-ends are already in key order)
-    g2 = jax.lax.sort(
-        pack64(
-            jnp.where(real_last, packed, KEY_SENTINEL),
-            jnp.where(real_last, c, 0.0),
-        ),
-        dimension=1,
-        is_stable=False,
+    k2_full, c2_full = sort2(
+        jnp.where(real_last, packed, KEY_SENTINEL),
+        jnp.where(real_last, c, 0.0),
     )
-    key2, c2 = unpack64(g2[:, :cap])
+    key2, c2 = k2_full[:, :cap], c2_full[:, :cap]
 
     valid2 = key2 != KEY_SENTINEL
     prev = jnp.concatenate([jnp.zeros((e, 1), f32), c2[:, :-1]], axis=1)
@@ -209,7 +273,7 @@ def _merge_runs(packed: jax.Array, qv: jax.Array, cap: int, rank_bits: int):
     jax.jit,
     static_argnames=(
         "n_events", "tracks_per_event", "point_budget", "uniq_budget",
-        "pallas_lookup",
+        "pallas_lookup", "pallas_sort",
     ),
 )
 def deposit_and_merge(
@@ -232,6 +296,7 @@ def deposit_and_merge(
     point_budget: int = 1024,
     uniq_budget: int = 12288,
     pallas_lookup: bool = False,
+    pallas_sort: bool = False,
     plane_hi=None,
     plane_lo=None,
 ):
@@ -239,7 +304,7 @@ def deposit_and_merge(
 
     Parameters
     ----------
-    key: PRNG key (TB wiggle).
+    key: [E, 2] per-event PRNG keys (``event_keys``) — raw-cloud TB wiggle.
     positions: [T, B, 3] f32 — deposit positions (m), B = n_events * K.
         Track layout must be event-major: track b belongs to event b // K,
         nucleus slot b % K (this reproduces the reference's nucleus-outer,
@@ -256,6 +321,8 @@ def deposit_and_merge(
         ``pool_overflow``.
     uniq_budget: unique-(pad, tb) slots kept per event. Overflow (the
         highest-key entries) is dropped and counted in ``uniq_overflow``.
+    pallas_sort: run the merge sorts through the in-VMEM Pallas bitonic
+        kernel (sort_pallas.py) — bit-exact vs the lax.sort path.
     pallas_lookup: use the Pallas pad-lookup kernel (deposit_pallas.py)
         instead of the elementwise table gather (TPU hot path; requires
         plane_hi/plane_lo from Config.device_arrays).
@@ -413,7 +480,9 @@ def deposit_and_merge(
         qq_in = jnp.where(pix_valid, q_pix, 0.0).reshape(e, w)
 
     # --- per-event-window merge to unique (pad, tb) ----------------------- #
-    key2, sums, valid2, n_uniq = _merge_runs(packed, qq_in, u_cap, rank_bits)
+    key2, sums, valid2, n_uniq = _merge_runs(
+        packed, qq_in, u_cap, rank_bits, pallas_sort=pallas_sort
+    )
     uniq_max = n_uniq.max()
     uniq_overflow = jnp.maximum(n_uniq - u_cap, 0).sum()
     counts = jnp.minimum(n_uniq, u_cap)
@@ -437,8 +506,20 @@ def deposit_and_merge(
     # per-event counter-based streams (simulator._wiggle_for_events):
     # 4 fewer bytes per wire row, f64 wiggle arithmetic like the
     # reference's, and a wiggle stream independent of events_per_batch.
-    wiggle = jax.random.uniform(key, tbs_int.shape, dtype=f32)
-    tbs_out = tbs_int.astype(f32) + wiggle
+    # The raw draw is per EVENT (one key per row of ``key``), so it too is
+    # batch-layout invariant — though still tied to ``uniq_budget`` (the
+    # draw's per-event shape), unlike the host wiggle.
+    cap = valid2.shape[1]
+    wiggle = jax.vmap(
+        lambda kk: jax.random.uniform(kk, (cap,), dtype=f32)
+    )(key).reshape(-1)
+    tb_f = tbs_int.astype(f32)
+    # f32 rounding can carry tb + U[0,1) up to the NEXT integer (eps(512)
+    # = 2^-14, so draws within 2^-15 of 1 round up — p ~ 3e-5/row), which
+    # would alias two distinct merged (pad, tb) keys; clamp to the largest
+    # f32 strictly below tb+1 so floor(tbs) == tb always holds (the
+    # reference's f64 wiggle makes this p ~ 2^-45 — effectively never)
+    tbs_out = jnp.minimum(tb_f + wiggle, jnp.nextafter(tb_f + 1.0, tb_f))
 
     return {
         "pads": pads_out,

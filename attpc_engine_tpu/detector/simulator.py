@@ -27,7 +27,12 @@ import numpy as np
 
 from .. import nuclear_map
 from ..constants import NUM_TB
-from .deposition import compact_cloud, deposit_and_merge, generate_electrons
+from .deposition import (
+    compact_cloud,
+    deposit_and_merge,
+    event_keys,
+    generate_electrons,
+)
 from .parameters import Config
 from .transport import TrackSpecies, integrate_tracks
 
@@ -59,7 +64,7 @@ def _engine_fingerprint(engine: "EngineParams | None") -> tuple | None:
         engine.n_time_steps, engine.dt, engine.chunk_steps,
         engine.point_budget, engine.uniq_budget, engine.cloud_cap,
         engine.out_budget, engine.events_per_batch, engine.pallas_transport,
-        engine.pallas_lookup,
+        engine.pallas_lookup, engine.pallas_sort,
     )
 
 
@@ -161,6 +166,11 @@ class EngineParams:
         can be A/B-measured separately. Falls back to the elementwise
         gather when the pad grid exceeds the kernel's table (planes are
         None) regardless of this flag.
+    pallas_sort: bool | str
+        Same semantics for the in-VMEM bitonic merge sorts
+        (sort_pallas.py); bit-exact vs lax.sort. Default False until the
+        TPU A/B lands (docs/roofline.md derives the expected ~3-4x on the
+        sort stage).
     """
 
     n_time_steps: int = 10000
@@ -173,6 +183,7 @@ class EngineParams:
     events_per_batch: int = 256
     pallas_transport: bool | str = "auto"
     pallas_lookup: bool | str = "auto"
+    pallas_sort: bool | str = False
     transfer_quantum: int = 65536
 
 
@@ -269,6 +280,16 @@ class DetectorSimulator:
 
     # ------------------------------------------------------------------ #
 
+    def _pallas_enabled(self, flag) -> bool:
+        """bool | "auto" -> effective enablement (auto = single-chip TPU:
+        the CPU fallback is the slow interpreter, and pallas_call does not
+        partition under a >1-device mesh)."""
+        if flag == "auto":
+            return jax.default_backend() == "tpu" and (
+                self.mesh is None or self.mesh.size == 1
+            )
+        return bool(flag)
+
     def _simulate_impl(
         self,
         key,
@@ -278,6 +299,7 @@ class DetectorSimulator:
         uniq_budget: int | None = None,
         out_budget: int | None = None,
         n_steps: int | None = None,
+        event_start=0,
     ):
         """vg [E, 3 + K*3] f32 (vertex cols 0-2, then gamma*beta per
         track) -> cloud + spyral arrays. The batch rides ONE combined
@@ -287,7 +309,11 @@ class DetectorSimulator:
 
         Pool budgets and the effective step window are static jit arguments
         (None = the engine defaults) so the driver can retune them between
-        batches."""
+        batches. ``event_start`` (traced scalar) is the batch's first
+        GLOBAL event index: all device draws key off fold_in(key,
+        event_start + i), so a batch's outputs depend only on its events'
+        global ids — not on events_per_batch or the batch boundary
+        (grid-independent resume)."""
         cfg, eng = self.config, self.engine
         point_budget = point_budget or eng.point_budget
         uniq_budget = uniq_budget or eng.uniq_budget
@@ -300,24 +326,20 @@ class DetectorSimulator:
         vertices = vg[:, :3]
         gvs = vg[:, 3:].reshape(e, k, 3)
 
-        k_e, k_w = jax.random.split(key)
+        # one key per event from its GLOBAL id; split once into the Fano
+        # stream and the raw-cloud wiggle stream
+        ev_keys = event_keys(key, e, event_start)
+        ksplit = jax.vmap(jax.random.split)(ev_keys)  # [E, 2, 2]
+        keys_e, keys_w = ksplit[:, 0], ksplit[:, 1]
 
         pos0 = jnp.repeat(vertices, k, axis=0)  # [B, 3] event-major
         gv0 = gvs.reshape(b, 3)
         s_idx = jnp.tile(jnp.arange(k, dtype=jnp.int32), e)
 
-        def pallas_on(flag) -> bool:
-            """bool | "auto" -> effective enablement (auto = single-chip
-            TPU: the CPU fallback is the slow interpreter, and pallas_call
-            does not partition under a >1-device mesh)."""
-            if flag == "auto":
-                return jax.default_backend() == "tpu" and (
-                    self.mesh is None or self.mesh.size == 1
-                )
-            return bool(flag)
-
+        pallas_on = self._pallas_enabled
         use_pallas = pallas_on(eng.pallas_transport)
         use_pallas_lookup = pallas_on(eng.pallas_lookup)
+        use_pallas_sort = pallas_on(eng.pallas_sort)
         if use_pallas and n_steps <= eng.chunk_steps:
             # single window fits one kernel launch
             from .transport_pallas import integrate_tracks_pallas
@@ -367,11 +389,12 @@ class DetectorSimulator:
         # driver retries with a larger window
         steps_alive = alive.any(axis=1).sum(dtype=jnp.int32)
         electrons = generate_electrons(
-            k_e, dke, cfg.det_params.w_value, cfg.det_params.fano_factor
+            keys_e, dke, cfg.det_params.w_value, cfg.det_params.fano_factor,
+            chunk_steps=min(eng.chunk_steps, n_steps),
         )
         track_labels = jnp.tile(self._labels, e)
         cloud = deposit_and_merge(
-            k_w,
+            keys_w,
             positions,
             electrons,
             alive,
@@ -390,6 +413,7 @@ class DetectorSimulator:
             point_budget=point_budget,
             uniq_budget=uniq_budget,
             pallas_lookup=use_pallas_lookup,
+            pallas_sort=use_pallas_sort,
             plane_hi=dev["plane_hi"],
             plane_lo=dev["plane_lo"],
         )
@@ -590,7 +614,14 @@ class DetectorSimulator:
         # ordering bits — pin every dropped row to i64 max (sorts last; the
         # slot mask below never reads past the kept prefix anyway)
         key64 = jnp.where(keep, key64, jnp.int64(0x7FFFFFFFFFFFFFFF))
-        k_s = jax.lax.sort(key64.reshape(e, w), dimension=1, is_stable=False)
+        if self._pallas_enabled(self.engine.pallas_sort):
+            from .sort_pallas import sort_i64_pallas
+
+            k_s = sort_i64_pallas(key64.reshape(e, w))
+        else:
+            k_s = jax.lax.sort(
+                key64.reshape(e, w), dimension=1, is_stable=False
+            )
 
         # pack row prefixes into the pooled output: slot -> (event, column).
         # NOT searchsorted: a binary search over [out_pool] slots lowers to
@@ -666,14 +697,18 @@ class DetectorSimulator:
         compact: bool = False,
         cloud_cap: int | None = None,
         wiggle_seed: int = 0,
+        event_start: int = 0,
     ):
         """Simulate a batch of events.
 
         Parameters
         ----------
-        key: jax PRNG key.
+        key: jax PRNG key — the run's BASE key; per-event streams fold in
+            ``event_start + i``, so values depend only on an event's
+            global id, never on the batch layout.
         vertices: [E, 3] float64 (m).
         momenta: [E, N, 4] float64 (MeV).
+        event_start: global index of the batch's first event.
 
         Returns
         -------
@@ -711,6 +746,7 @@ class DetectorSimulator:
             uniq_budget=uniq_budget or self.engine.uniq_budget,
             out_budget=out_budget or self.engine.out_budget,
             n_steps=n_steps or self.engine.n_time_steps,
+            event_start=np.int32(event_start),
         )
         # prefetch the per-batch metadata: enqueue its tiny D2H right
         # behind this batch's compute so the production loop's sync
@@ -826,17 +862,18 @@ def run_simulation(
     evenly), each batch is event-sharded across the device mesh and the
     host gather feeding the writer collects from all shards.
 
-    Resume/checkpointing: per-batch RNG keys derive from
-    fold_in(seed, event_start), so an interrupted run restarted with the
-    same seed and ``start_event`` (paired with the writer's
-    ``first_run_number``) reproduces exactly the events it would have
-    produced — restartability the reference only offers at whole-run
-    granularity (SURVEY.md section 5). Bit-exact resume requires
-    ``start_event`` to sit on the original run's events_per_batch grid
-    (the per-event device draws fold the batch start); the host-side TB
-    wiggle alone is per-event and batch-invariant. An unaligned resume is
-    statistically equivalent but not bit-identical
-    (tests/test_end_to_end.py::test_resume_reproduces_one_shot).
+    Resume/checkpointing: ALL random streams are keyed per event from the
+    event's global index — device draws via fold_in(seed, event_id) with
+    the Fano stream additionally chunk-keyed so the tuned step window
+    cannot shift it (deposition.event_keys / generate_electrons), the TB
+    wiggle via a host Philox(seed, event_id) stream. An interrupted run
+    restarted with the same seed and ``start_event`` (paired with the
+    writer's ``first_run_number``) therefore reproduces exactly the
+    events it would have produced, bit-identically, for ANY
+    ``events_per_batch`` — the resume point need not sit on the original
+    run's batch grid (tests/test_end_to_end.py::
+    test_resume_reproduces_one_shot). The reference only offers
+    whole-run restartability (SURVEY.md section 5).
     """
     from ..io.kinematics_file import KinematicsReader
     from ..io.spyral_child import tune_malloc
@@ -865,20 +902,17 @@ def run_simulation(
     )
     if seed is None:
         seed = int(np.random.SeedSequence().entropy % (2**31))
-    # pin the key chain to the host CPU backend: threefry values are
-    # backend-independent, and deriving the per-batch key on host avoids
-    # launching a tiny accelerator program (one extra tunnel round trip)
-    # every batch just to fold in the event start. The base key must be
-    # COMMITTED to the CPU device (device_put) — a key merely created
-    # under default_device(cpu) is uncommitted and fold_in would migrate
-    # it back to the accelerator. The loop converts each folded key to
-    # numpy so the sim program's own placement is unconstrained.
+    # the base key rides into every batch program as the same tiny numpy
+    # array; per-event keys are folded ON DEVICE from the batch's global
+    # event ids (event_keys), so no host-side per-batch key derivation —
+    # and no accelerator round trip — is needed at all
     try:
         base_key = jax.device_put(
             jax.random.PRNGKey(seed), jax.devices("cpu")[0]
         )
     except RuntimeError:
         base_key = jax.random.PRNGKey(seed)
+    key_np = np.asarray(base_key)
 
     progress = None
     if show_progress:
@@ -1119,13 +1153,11 @@ def run_simulation(
                 momenta = np.concatenate(
                     [momenta, np.zeros((pad_n,) + momenta.shape[1:])]
                 )
-            # folded on CPU (base_key is CPU-committed); handed to the sim
-            # as numpy so it does not constrain the program's placement
-            key = np.asarray(jax.random.fold_in(base_key, start))
             for _attempt in range(8):
                 with phase_timer(times, "dispatch"):
                     out = sim.simulate_batch(
-                        key, vertices, momenta, assemble=False,
+                        key_np, vertices, momenta, assemble=False,
+                        event_start=start,
                         point_budget=budgets["point"],
                         uniq_budget=budgets["uniq"],
                         out_budget=budgets["out"],

@@ -13,7 +13,11 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from attpc_engine_tpu.detector.deposition import deposit_and_merge, MESH_STEPS
+from attpc_engine_tpu.detector.deposition import (
+    MESH_STEPS,
+    deposit_and_merge,
+    event_keys,
+)
 from attpc_engine_tpu.detector.parameters import Config, PadParams
 from attpc_engine_tpu import nuclear_map
 
@@ -122,7 +126,7 @@ def test_merge_matches_reference_semantics(geometry):
 
     dev = config.device_arrays()
     out = deposit_and_merge(
-        jax.random.PRNGKey(0),
+        event_keys(jax.random.PRNGKey(0), n_events),
         jnp.asarray(positions), jnp.asarray(electrons), jnp.asarray(valid),
         jnp.asarray(track_labels),
         dev["key_grid_mm"],
@@ -172,7 +176,7 @@ def test_no_event_count_ceiling(geometry):
 
     dev = config.device_arrays()
     out = deposit_and_merge(
-        jax.random.PRNGKey(0),
+        event_keys(jax.random.PRNGKey(0), n_events),
         jnp.asarray(positions), jnp.asarray(electrons), jnp.asarray(valid),
         jnp.asarray(track_labels),
         dev["key_grid_mm"],
@@ -210,7 +214,7 @@ def test_uniq_budget_overflow_counted(geometry):
 
     def run(uniq_budget):
         return deposit_and_merge(
-            jax.random.PRNGKey(0),
+            event_keys(jax.random.PRNGKey(0), 1),
             jnp.asarray(positions), jnp.asarray(electrons),
             jnp.asarray(valid), jnp.asarray(labels),
             dev["key_grid_mm"],

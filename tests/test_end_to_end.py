@@ -424,11 +424,11 @@ def test_steps_probe_ladder_matches_full_window(tmp_path):
 def test_resume_reproduces_one_shot(tmp_path):
     """The documented resume contract: rerunning with the same seed and
     start_event reproduces the interrupted run's remaining events with
-    identical dataset values (keys derive from the event range; the TB
-    wiggle is a per-event Philox stream). Bit-exactness requires the
-    resume point to sit on the original run's events_per_batch grid — the
-    per-event device draws fold the batch start (run_simulation docstring
-    states this); an unaligned resume is only statistically equivalent."""
+    identical dataset values, for ANY events_per_batch — every random
+    stream is keyed by the event's global id (device draws via
+    deposition.event_keys, the TB wiggle via a host Philox stream), so
+    the resume point need not sit on the original run's batch grid and
+    the resumed run may even use a different batch size."""
     import glob
 
     import h5py
@@ -464,9 +464,15 @@ def test_resume_reproduces_one_shot(tmp_path):
     run_simulation(config, kine, SpyralWriterProc(d_a, config, 100),
                    engine=engine, seed=3, show_progress=False,
                    stop_event=5)
+    # resume OFF the original grid: start 5 is not a multiple of the new
+    # events_per_batch=4, and 4 differs from the original 5 — bit-exact
+    # equality must hold anyway (grid-independent per-event streams)
+    import dataclasses
+
+    engine_b = dataclasses.replace(engine, events_per_batch=4)
     run_simulation(config, kine,
                    SpyralWriterProc(d_b, config, 100, first_run_number=1),
-                   engine=engine, seed=3, show_progress=False,
+                   engine=engine_b, seed=3, show_progress=False,
                    start_event=5)
 
     full = collect([d_full])

@@ -33,6 +33,7 @@ def main():
     from attpc_engine_tpu.detector.deposition import (
         MESH_STEPS,
         NUM_TB,
+        event_keys,
         generate_electrons,
     )
     from attpc_engine_tpu.detector.transport import integrate_tracks
@@ -56,8 +57,8 @@ def main():
         n_steps=STEPS, chunk_steps=250,
     )
     electrons = generate_electrons(
-        jax.random.PRNGKey(1), dke, cfg.det_params.w_value,
-        cfg.det_params.fano_factor,
+        event_keys(jax.random.PRNGKey(1), e), dke, cfg.det_params.w_value,
+        cfg.det_params.fano_factor, chunk_steps=250,
     )
     positions = np.asarray(positions)  # [T, B, 3]
     electrons = np.asarray(electrons)

@@ -17,7 +17,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 import jax.numpy as jnp
 
-from attpc_engine_tpu.detector.deposition import deposit_and_merge
+from attpc_engine_tpu.detector.deposition import deposit_and_merge, event_keys
 
 CONFIGS = os.environ.get(
     "BISECT_CONFIGS", "16,128,32;64,256,32;64,1024,64;384,1024,16;384,1024,64"
@@ -37,7 +37,7 @@ def main():
         grid = jnp.zeros((560, 560), jnp.int32)
         t0 = time.perf_counter()
         lowered = deposit_and_merge.lower(
-            jax.random.PRNGKey(0),
+            event_keys(jax.random.PRNGKey(0), e),
             positions,
             electrons,
             valid,

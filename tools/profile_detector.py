@@ -22,7 +22,11 @@ import jax.numpy as jnp
 
 from __graft_entry__ import _tiny_setup
 from attpc_engine_tpu.detector.transport import integrate_tracks
-from attpc_engine_tpu.detector.deposition import deposit_and_merge, generate_electrons
+from attpc_engine_tpu.detector.deposition import (
+    deposit_and_merge,
+    event_keys,
+    generate_electrons,
+)
 
 
 def _force(x):
@@ -93,14 +97,16 @@ def main():
     print(f"  alive deposit points: {alive_count} "
           f"({alive_count / b:.0f}/track avg)")
 
+    ev_keys = event_keys(key, e)
     electrons = generate_electrons(
-        key, dke, cfg.det_params.w_value, cfg.det_params.fano_factor
+        ev_keys, dke, cfg.det_params.w_value, cfg.det_params.fano_factor,
+        chunk_steps=500,
     )
     labels = jnp.tile(jnp.asarray(sim.sim_indices, dtype=jnp.int32), e)
 
     dep = lambda: (
         deposit_and_merge(
-            key, positions, electrons, alive, labels,
+            ev_keys, positions, electrons, alive, labels,
             dev["key_grid_mm"], grid_lo_mm=dev["grid_lo_mm"], grid_n_mm=dev["grid_n_mm"],
             diffusion=cfg.det_params.diffusion,
             efield=cfg.det_params.efield,
@@ -115,7 +121,7 @@ def main():
     t_dep = timeit("deposit+merge", dep)
 
     cloud = deposit_and_merge(
-        key, positions, electrons, alive, labels,
+        ev_keys, positions, electrons, alive, labels,
         dev["key_grid_mm"], grid_lo_mm=dev["grid_lo_mm"], grid_n_mm=dev["grid_n_mm"],
         diffusion=cfg.det_params.diffusion,
         efield=cfg.det_params.efield,
