@@ -1,0 +1,162 @@
+"""Pallas in-VMEM row sort: the merge-sort HBM end-run.
+
+The fused detector step's largest remaining cost is `_merge_runs`'s two
+per-event-window sorts ([E, W] with W = point_budget * 100 = 57,600 at
+bench shapes, ~61 ms of the 235 ms step). `lax.sort` lowers to a
+bitonic-style network that stages every compare-exchange pass through
+HBM: for W padded to 65,536 that is 136 passes x 412 MB ≈ 56 GB of
+traffic — 68 ms at the v5e's 819 GB/s, matching the measured 75 ms
+(docs/roofline.md). But one event row is only 57,600 x 8 B = 460 KB:
+it FITS IN VMEM. This kernel loads a row once, runs the whole bitonic
+network on-chip, and writes it once — HBM is paid 2x instead of 136x,
+leaving the VPU compare-exchange work (~10-20 ms/batch estimated) as
+the cost.
+
+Representation: two i32 planes instead of one i64 (Mosaic's i64 support
+is weak). Ordering is lexicographic (hi, then lo), ascending, with BOTH
+planes required nonnegative — exactly the order of the caller's
+`pack64(key, f32_bits)` i64 sort (keys are nonnegative i32; f32 bit
+patterns of nonnegative floats compare like the floats), so swapping
+this kernel for `lax.sort` is bit-exact (tests/test_sort_pallas.py).
+
+Layout: a row of P = 2^k elements is viewed as [S, 128] (sublane-major:
+element i sits at sublane i >> 7, lane i & 127). A bitonic stage with
+XOR-distance d becomes a roll-and-select along lanes (d < 128) or
+sublanes (d >= 128) — no transposes, no in-kernel lane-split reshapes
+(both measured Mosaic hazards, CLAUDE.md). Masks ride int32 iotas
+(8-bit broadcasts are another Mosaic hazard).
+
+Reference semantics context: the sorts implement the reference's
+per-event (pad, tb) dict merge (transporter.py:124-249); this kernel
+changes only WHERE the sorting network runs, not its result.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+__all__ = ["sort_pairs_pallas", "sort_i64_pallas"]
+
+_LANES = 128
+_PAD = np.int32(2**31 - 1)  # sorts after every real (nonneg) element
+
+
+def _bit_mask(shape, dist: int):
+    """Boolean [S, L]: (element_index & dist) == 0 for power-of-two dist."""
+    if dist < _LANES:
+        io = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        return (io & np.int32(dist)) == 0
+    io = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    return (io & np.int32(dist // _LANES)) == 0
+
+
+def _partner(x, low, dist: int):
+    """Value at index i XOR dist: roll both directions, pick per element."""
+    if dist < _LANES:
+        fwd = jnp.roll(x, -dist, axis=1)
+        bwd = jnp.roll(x, dist, axis=1)
+    else:
+        k = dist // _LANES
+        fwd = jnp.roll(x, -k, axis=0)
+        bwd = jnp.roll(x, k, axis=0)
+    return jnp.where(low, fwd, bwd)
+
+
+def _sort_kernel(hi_ref, lo_ref, oh_ref, ol_ref, *, total: int):
+    """Full bitonic sort of one [S, 128] row pair, entirely in VMEM."""
+    h = hi_ref[0]
+    l = lo_ref[0]  # noqa: E741 — paired with h throughout
+    shape = h.shape
+    sz = 2
+    while sz <= total:
+        asc = _bit_mask(shape, sz)  # (i & total) == 0 is all-True
+        d = sz // 2
+        while d >= 1:
+            low = _bit_mask(shape, d)
+            ph = _partner(h, low, d)
+            plo = _partner(l, low, d)
+            eq = h == ph
+            gt = (h > ph) | (eq & (l > plo))
+            lt = (h < ph) | (eq & (l < plo))
+            # ascending & low-index keeps the min (swap on gt); the other
+            # three (asc, low) cases follow by symmetry
+            take = jnp.where(asc == low, gt, lt)
+            h = jnp.where(take, ph, h)
+            l = jnp.where(take, plo, l)  # noqa: E741
+            d //= 2
+        sz *= 2
+    oh_ref[0] = h
+    ol_ref[0] = l
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def sort_pairs_pallas(
+    hi: jax.Array,
+    lo: jax.Array,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Row-wise ascending lexicographic sort of (hi, lo) i32 pairs.
+
+    hi, lo: [E, W] int32, BOTH nonnegative (the caller's key plane and
+    f32-bit value plane). Rows are padded to the next power of two with
+    INT32_MAX pairs (they sort last and are sliced back off), so W may
+    be arbitrary. Bit-exact drop-in for
+    ``lax.sort(key<<32 | f32_bits, dimension=1)`` on nonneg planes.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    e, w = hi.shape
+    total = max(_LANES * 2, 1 << (w - 1).bit_length())
+    if total != w:
+        padc = ((0, 0), (0, total - w))
+        hi = jnp.pad(hi, padc, constant_values=_PAD)
+        lo = jnp.pad(lo, padc, constant_values=_PAD)
+    s = total // _LANES
+    hi3 = hi.reshape(e, s, _LANES)
+    lo3 = lo.reshape(e, s, _LANES)
+
+    zero = np.int32(0)
+    spec = pl.BlockSpec((1, s, _LANES), lambda b: (b, zero, zero))
+    oh, ol = pl.pallas_call(
+        partial(_sort_kernel, total=total),
+        grid=(e,),
+        in_specs=[spec, spec],
+        out_specs=[spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((e, s, _LANES), jnp.int32),
+            jax.ShapeDtypeStruct((e, s, _LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(hi3, lo3)
+    return (
+        oh.reshape(e, total)[:, :w],
+        ol.reshape(e, total)[:, :w],
+    )
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def sort_i64_pallas(
+    x: jax.Array, interpret: bool | None = None
+) -> jax.Array:
+    """Row-wise ascending sort of [E, W] int64 via the 2-plane kernel.
+
+    Split ordering: the hi plane carries the SIGNED top 32 bits (so i64
+    sign order is preserved), the lo plane the low 32 compared as signed
+    i32. Exact i64 order therefore requires that within any equal-hi
+    group the low words share a sign (or their order be irrelevant) —
+    true for `_convert_to_spyral`'s key (low word = f32 charge bits of a
+    nonnegative charge; the only negative low words belong to dropped
+    rows pinned to i64 max, whose mutual order is meaningless). The pad
+    pairs (INT32_MAX, INT32_MAX) == i64 max still sort last.
+    """
+    hi = (x >> 32).astype(jnp.int32)
+    lo = (x & 0xFFFFFFFF).astype(jnp.uint32).astype(jnp.int32)
+    sh, sl = sort_pairs_pallas(hi, lo, interpret=interpret)
+    return (sh.astype(jnp.int64) << 32) | sl.astype(jnp.uint32).astype(
+        jnp.int64
+    )

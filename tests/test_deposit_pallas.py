@@ -16,7 +16,7 @@ from attpc_engine_tpu.detector.deposit_pallas import (
     build_plane_tables,
     pad_lookup_pallas,
 )
-from attpc_engine_tpu.detector.deposition import deposit_and_merge
+from attpc_engine_tpu.detector.deposition import deposit_and_merge, event_keys
 from attpc_engine_tpu.detector.parameters import Config, PadParams
 from attpc_engine_tpu import nuclear_map
 
@@ -86,7 +86,7 @@ def test_deposit_and_merge_pallas_equals_gather():
         point_budget=128,
         uniq_budget=4096,
     )
-    key = jax.random.PRNGKey(5)
+    key = event_keys(jax.random.PRNGKey(5), e)
     out_g = deposit_and_merge(
         key, jnp.asarray(positions), jnp.asarray(electrons),
         jnp.asarray(valid), jnp.asarray(labels), **kw,
@@ -103,4 +103,50 @@ def test_deposit_and_merge_pallas_equals_gather():
                  "cloud_valid", "counts", "n_points"):
         np.testing.assert_array_equal(
             np.asarray(out_g[name]), np.asarray(out_p[name]), err_msg=name
+        )
+
+
+def test_deposit_and_merge_pallas_sort_equals_lax():
+    """pallas_sort=True (in-VMEM bitonic kernel, interpret mode on CPU)
+    must be BIT-exact vs the lax.sort merge path — same lexicographic
+    order on the same planes (sort_pallas.py docstring)."""
+    config = _config()
+    dev = config.device_arrays()
+    rng = np.random.default_rng(11)
+    e, k, t = 3, 2, 40
+    b = e * k
+    positions = np.zeros((t, b, 3), np.float32)
+    positions[:, :, 0] = np.cumsum(rng.normal(0, 0.004, (t, b)), 0)
+    positions[:, :, 1] = 0.08 + np.cumsum(rng.normal(0, 0.004, (t, b)), 0)
+    positions[:, :, 2] = rng.uniform(0.1, 0.99, (t, b))
+    electrons = rng.integers(0, 2000, (t, b)).astype(np.int32)
+    valid = rng.random((t, b)) < 0.9
+    labels = np.tile(np.arange(k, dtype=np.int32) + 2, e)
+
+    kw = dict(
+        key_grid_mm=dev["key_grid_mm"],
+        grid_lo_mm=dev["grid_lo_mm"],
+        grid_n_mm=dev["grid_n_mm"],
+        diffusion=config.det_params.diffusion,
+        efield=config.det_params.efield,
+        drift_velocity=config.drift_velocity,
+        micromegas_edge=10.0,
+        length=1.0,
+        mpgd_gain=175000.0,
+        n_events=e,
+        tracks_per_event=k,
+        point_budget=128,
+        uniq_budget=4096,
+    )
+    key = event_keys(jax.random.PRNGKey(5), e)
+    args = (key, jnp.asarray(positions), jnp.asarray(electrons),
+            jnp.asarray(valid), jnp.asarray(labels))
+    out_lax = deposit_and_merge(*args, **kw)
+    out_ps = deposit_and_merge(*args, pallas_sort=True, **kw)
+    assert int(np.asarray(out_lax["counts"]).sum()) > 50
+    for name in ("pads", "tbs", "tbs_i", "charges", "labels", "events",
+                 "cloud_valid", "counts", "n_points", "uniq_overflow",
+                 "pool_overflow"):
+        np.testing.assert_array_equal(
+            np.asarray(out_lax[name]), np.asarray(out_ps[name]), err_msg=name
         )
