@@ -43,9 +43,14 @@ def check_file(path: Path) -> list[str]:
         if isinstance(node, ast.Constant) and isinstance(node.value, str):
             used.add(node.value)
 
+    lines = src.splitlines()
     if path.name != "__init__.py":
         for name, lineno in imported.items():
             if name not in used and name != "annotations":
+                # honor `# noqa` suppressions like real ruff does (e.g.
+                # import-for-side-effect: `import pkg  # noqa: F401`)
+                if "# noqa" in lines[lineno - 1]:
+                    continue
                 problems.append(f"{path}:{lineno}: unused import '{name}'")
     return problems
 
