@@ -45,6 +45,7 @@ from jax.experimental import pallas as pl
 __all__ = [
     "pad_lookup_pallas",
     "packed_key_lookup_pallas",
+    "packed_key_lookup_2s_pallas",
     "PAD_ID_SENTINEL",
     "build_plane_tables",
 ]
@@ -198,6 +199,133 @@ def pad_lookup_pallas(
         interpret=interpret,
     )(ixf, ymat, thi, tlo)
     return out.reshape(p_pad, 10, 10).astype(jnp.int32)[:p]
+
+
+_PB2 = 60  # points per block for the two-stage variant (5 groups of 12)
+_GP = 12  # points per MXU select group: 120 rows/cols, 128-lane aligned
+_NG = _PB2 // _GP
+_GL = 128  # lanes per select group
+
+
+def _packed_kernel_2s(
+    ixf_ref, ylane_ref, tbr_ref, thi_ref, tlo_ref, out_ref, *,
+    rank_bits: int, sentinel: int,
+):
+    """Two-stage variant: the column select is a SECOND one-hot MXU
+    matmul over 12-point groups + a narrow 128-lane VPU select, instead
+    of 10 compare-select-reduce passes over the full 640-lane width
+    (~5x less VPU work; the matmuls are noise on the MXU).
+
+    Exactness: the second matmul runs per PLANE (hi/lo <= 8 bits, exact
+    in bf16 — the combined pad id 0..10240 would NOT be) with one-hot
+    columns, so every output is a single exact product; planes recombine
+    in f32 afterwards. No lane-split reshapes anywhere (the Mosaic
+    hazard that killed the all-pairs formulation, CLAUDE.md): the group
+    one-hot B[c, k] = (c == y_lane[k]) is built from a sublane iota
+    against a lane-indexed target vector prepared by the CALLER in XLA
+    (ylane_ref[g, lp*10 + j] = iy[point g*12+lp, j], -1 padding), and
+    the select targets are pure iota arithmetic (c == (r//10)*10 + j).
+
+    ixf_ref: [600, 1] i32; ylane_ref: [_NG, 128] i32; tbr_ref: [600, 1].
+    out_ref: [600, 10] i32 packed merge keys (same contract as
+    _packed_kernel).
+    """
+    f32 = jnp.float32
+    r = ixf_ref.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (r, _NX), 1)
+    ohx = (rows == ixf_ref[:]).astype(jnp.bfloat16)
+    dims = (((1,), (0,)), ((), ()))
+    r_hi = jax.lax.dot_general(
+        ohx, thi_ref[:], dims, preferred_element_type=f32
+    )
+    r_lo = jax.lax.dot_general(
+        ohx, tlo_ref[:], dims, preferred_element_type=f32
+    )
+
+    gr = _GP * 10  # 120 rows per group
+    csub = jax.lax.broadcasted_iota(jnp.int32, (_NY, _GL), 0)
+    rsub = jax.lax.broadcasted_iota(jnp.int32, (gr, _GL), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (gr, _GL), 1)
+    for g in range(_NG):
+        y = ylane_ref[0, g][None, :]  # [1, _GL]
+        bmat = (csub == y).astype(jnp.bfloat16)  # [640, 128] one-hot cols
+        a_hi = r_hi[g * gr:(g + 1) * gr].astype(jnp.bfloat16)
+        a_lo = r_lo[g * gr:(g + 1) * gr].astype(jnp.bfloat16)
+        z = (
+            jax.lax.dot_general(a_hi, bmat, dims, preferred_element_type=f32)
+            * f32(128.0)
+            + jax.lax.dot_general(a_lo, bmat, dims, preferred_element_type=f32)
+        )  # [120, 128] exact pad ids at (row r, y_lane col)
+        base = (rsub // 10) * 10  # local point * 10
+        outs = []
+        for j in range(10):
+            hit = jnp.where(lane == base + np.int32(j), z, f32(0.0))
+            outs.append(jnp.sum(hit, axis=1))
+        vi = jnp.stack(outs, axis=1).astype(jnp.int32)  # [120, 10]
+        pk = vi * np.int32(512 << rank_bits) + tbr_ref[g * gr:(g + 1) * gr]
+        out_ref[g * gr:(g + 1) * gr] = jnp.where(
+            vi < np.int32(int(PAD_ID_SENTINEL)), pk, np.int32(sentinel)
+        )
+
+
+@partial(jax.jit, static_argnames=("rank_bits", "sentinel", "interpret"))
+def packed_key_lookup_2s_pallas(
+    ix: jax.Array,
+    iy: jax.Array,
+    tbr: jax.Array,
+    plane_hi: jax.Array,
+    plane_lo: jax.Array,
+    rank_bits: int,
+    sentinel: int,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Two-stage (MXU select) variant of ``packed_key_lookup_pallas`` —
+    identical contract and bit-exact output (tests/test_deposit_pallas.py),
+    different machine mapping (see ``_packed_kernel_2s``)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    p = ix.shape[0]
+    nb = -(-p // _PB2)
+    p_pad = nb * _PB2
+    ixc = jnp.clip(ix, 0, _NX - 1).astype(jnp.int32)
+    iyc = jnp.clip(iy, 0, _NY - 1).astype(jnp.int32)
+    tbr = tbr.astype(jnp.int32)
+    if p_pad != p:
+        pad_n = p_pad - p
+        ixc = jnp.pad(ixc, ((0, pad_n), (0, 0)), constant_values=_NX - 1)
+        iyc = jnp.pad(iyc, ((0, pad_n), (0, 0)), constant_values=_NY - 1)
+        tbr = jnp.pad(tbr, (0, pad_n))
+
+    ixf = ixc.reshape(p_pad * 10, 1)
+    tbrf = jnp.broadcast_to(tbr[:, None], (p_pad, 10)).reshape(p_pad * 10, 1)
+    # lane-indexed select targets, prepared where layout changes are free:
+    # ylane[b, g, lp*10 + j] = iy of point (b*60 + g*12 + lp), pixel col j
+    ylane = jnp.pad(
+        iyc.reshape(nb, _NG, _GP * 10),
+        ((0, 0), (0, 0), (0, _GL - _GP * 10)),
+        constant_values=-1,
+    )
+
+    thi = plane_hi.astype(jnp.bfloat16)
+    tlo = plane_lo.astype(jnp.bfloat16)
+
+    zero = np.int32(0)
+    kern = partial(_packed_kernel_2s, rank_bits=rank_bits, sentinel=sentinel)
+    out = pl.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((_PB2 * 10, 1), lambda b: (b, zero)),
+            pl.BlockSpec((1, _NG, _GL), lambda b: (b, zero, zero)),
+            pl.BlockSpec((_PB2 * 10, 1), lambda b: (b, zero)),
+            pl.BlockSpec((_NX, _NY), lambda b: (zero, zero)),
+            pl.BlockSpec((_NX, _NY), lambda b: (zero, zero)),
+        ],
+        out_specs=pl.BlockSpec((_PB2 * 10, 10), lambda b: (b, zero)),
+        out_shape=jax.ShapeDtypeStruct((p_pad * 10, 10), jnp.int32),
+        interpret=interpret,
+    )(ixf, ylane, tbrf, thi, tlo)
+    return out.reshape(p_pad, 10, 10)[:p]
 
 
 @partial(jax.jit, static_argnames=("rank_bits", "sentinel", "interpret"))

@@ -273,7 +273,7 @@ def _merge_runs(
     jax.jit,
     static_argnames=(
         "n_events", "tracks_per_event", "point_budget", "uniq_budget",
-        "pallas_lookup", "pallas_sort",
+        "pallas_lookup", "pallas_sort", "lookup_two_stage",
     ),
 )
 def deposit_and_merge(
@@ -297,6 +297,7 @@ def deposit_and_merge(
     uniq_budget: int = 12288,
     pallas_lookup: bool = False,
     pallas_sort: bool = False,
+    lookup_two_stage: bool = False,
     plane_hi=None,
     plane_lo=None,
 ):
@@ -323,6 +324,9 @@ def deposit_and_merge(
         highest-key entries) is dropped and counted in ``uniq_overflow``.
     pallas_sort: run the merge sorts through the in-VMEM Pallas bitonic
         kernel (sort_pallas.py) — bit-exact vs the lax.sort path.
+    lookup_two_stage: with pallas_lookup, use the two-stage select kernel
+        (second one-hot MXU matmul per 12-point group + narrow 128-lane
+        VPU select) — bit-exact vs the one-stage kernel.
     pallas_lookup: use the Pallas pad-lookup kernel (deposit_pallas.py)
         instead of the elementwise table gather (TPU hot path; requires
         plane_hi/plane_lo from Config.device_arrays).
@@ -440,7 +444,12 @@ def deposit_and_merge(
         # tests/test_deposit_pallas.py. Invalid pixels (out of plane, dead
         # point) are aliased onto sentinel table cells, so every validity
         # test folds into the table value itself.
-        from .deposit_pallas import _NX, _NY, packed_key_lookup_pallas
+        from .deposit_pallas import (
+            _NX,
+            _NY,
+            packed_key_lookup_2s_pallas,
+            packed_key_lookup_pallas,
+        )
 
         ix = jnp.floor(x10 * 1000.0 - grid_lo_mm).astype(jnp.int32)
         iy = jnp.floor(y10 * 1000.0 - grid_lo_mm).astype(jnp.int32)
@@ -451,7 +460,12 @@ def deposit_and_merge(
         ix = jnp.where(bad_x, _NX - 1, ix)
         iy = jnp.where(bad_y, _NY - 1, iy)
         tbr = (ptbi << rank_bits) | prank
-        packed3 = packed_key_lookup_pallas(
+        lookup_fn = (
+            packed_key_lookup_2s_pallas
+            if lookup_two_stage
+            else packed_key_lookup_pallas
+        )
+        packed3 = lookup_fn(
             ix, iy, tbr, plane_hi, plane_lo,
             rank_bits=rank_bits, sentinel=int(KEY_SENTINEL),
         )  # [P, 10, 10] int32 merge keys

@@ -64,7 +64,7 @@ def _engine_fingerprint(engine: "EngineParams | None") -> tuple | None:
         engine.n_time_steps, engine.dt, engine.chunk_steps,
         engine.point_budget, engine.uniq_budget, engine.cloud_cap,
         engine.out_budget, engine.events_per_batch, engine.pallas_transport,
-        engine.pallas_lookup, engine.pallas_sort,
+        engine.pallas_lookup, engine.pallas_sort, engine.lookup_two_stage,
     )
 
 
@@ -171,6 +171,11 @@ class EngineParams:
         (sort_pallas.py); bit-exact vs lax.sort. Default False until the
         TPU A/B lands (docs/roofline.md derives the expected ~3-4x on the
         sort stage).
+    lookup_two_stage: bool | str
+        Same semantics for the two-stage lookup select (second one-hot
+        MXU matmul per 12-point group + narrow VPU select,
+        deposit_pallas.packed_key_lookup_2s_pallas); bit-exact vs the
+        one-stage kernel. Default False until the TPU A/B lands.
     """
 
     n_time_steps: int = 10000
@@ -184,6 +189,7 @@ class EngineParams:
     pallas_transport: bool | str = "auto"
     pallas_lookup: bool | str = "auto"
     pallas_sort: bool | str = False
+    lookup_two_stage: bool | str = False
     transfer_quantum: int = 65536
 
 
@@ -414,6 +420,7 @@ class DetectorSimulator:
             uniq_budget=uniq_budget,
             pallas_lookup=use_pallas_lookup,
             pallas_sort=use_pallas_sort,
+            lookup_two_stage=pallas_on(eng.lookup_two_stage),
             plane_hi=dev["plane_hi"],
             plane_lo=dev["plane_lo"],
         )

@@ -150,3 +150,84 @@ def test_deposit_and_merge_pallas_sort_equals_lax():
         np.testing.assert_array_equal(
             np.asarray(out_lax[name]), np.asarray(out_ps[name]), err_msg=name
         )
+
+
+def test_two_stage_lookup_equals_one_stage():
+    """packed_key_lookup_2s_pallas (MXU select) must be BIT-exact vs the
+    one-stage kernel AND the gather path, across in/out-of-plane pixels,
+    vetoed cells and block-pad points (P not a multiple of 60)."""
+    from attpc_engine_tpu.detector.deposit_pallas import (
+        _NX,
+        _NY,
+        packed_key_lookup_2s_pallas,
+        packed_key_lookup_pallas,
+    )
+
+    config = _config()
+    dev = config.device_arrays()
+    rng = np.random.default_rng(23)
+    p = 131  # not a multiple of either block size
+    n_mm = int(dev["grid_n_mm"])
+    # mostly in-plane mesh cells, some aliased to the sentinel row/col
+    ix = rng.integers(0, n_mm, (p, 10)).astype(np.int32)
+    iy = rng.integers(0, n_mm, (p, 10)).astype(np.int32)
+    ix[rng.random((p, 10)) < 0.05] = _NX - 1
+    iy[rng.random((p, 10)) < 0.05] = _NY - 1
+    tbr = ((rng.integers(0, 512, p) << 2) | rng.integers(0, 4, p)).astype(
+        np.int32
+    )
+    kw = dict(rank_bits=2, sentinel=2**31 - 1)
+    one = packed_key_lookup_pallas(
+        jnp.asarray(ix), jnp.asarray(iy), jnp.asarray(tbr),
+        dev["plane_hi"], dev["plane_lo"], **kw,
+    )
+    two = packed_key_lookup_2s_pallas(
+        jnp.asarray(ix), jnp.asarray(iy), jnp.asarray(tbr),
+        dev["plane_hi"], dev["plane_lo"], **kw,
+    )
+    np.testing.assert_array_equal(np.asarray(one), np.asarray(two))
+
+
+def test_deposit_and_merge_two_stage_identity():
+    """Full deposit path with lookup_two_stage=True == one-stage output."""
+    config = _config()
+    dev = config.device_arrays()
+    rng = np.random.default_rng(29)
+    e, k, t = 2, 2, 30
+    b = e * k
+    positions = np.zeros((t, b, 3), np.float32)
+    positions[:, :, 0] = np.cumsum(rng.normal(0, 0.004, (t, b)), 0)
+    positions[:, :, 1] = 0.08 + np.cumsum(rng.normal(0, 0.004, (t, b)), 0)
+    positions[:, :, 2] = rng.uniform(0.1, 0.99, (t, b))
+    electrons = rng.integers(0, 2000, (t, b)).astype(np.int32)
+    valid = rng.random((t, b)) < 0.9
+    labels = np.tile(np.arange(k, dtype=np.int32) + 2, e)
+    kw = dict(
+        key_grid_mm=dev["key_grid_mm"],
+        grid_lo_mm=dev["grid_lo_mm"],
+        grid_n_mm=dev["grid_n_mm"],
+        diffusion=config.det_params.diffusion,
+        efield=config.det_params.efield,
+        drift_velocity=config.drift_velocity,
+        micromegas_edge=10.0,
+        length=1.0,
+        mpgd_gain=175000.0,
+        n_events=e,
+        tracks_per_event=k,
+        point_budget=128,
+        uniq_budget=4096,
+        pallas_lookup=True,
+        plane_hi=dev["plane_hi"],
+        plane_lo=dev["plane_lo"],
+    )
+    key = event_keys(jax.random.PRNGKey(31), e)
+    args = (key, jnp.asarray(positions), jnp.asarray(electrons),
+            jnp.asarray(valid), jnp.asarray(labels))
+    out_1 = deposit_and_merge(*args, **kw)
+    out_2 = deposit_and_merge(*args, lookup_two_stage=True, **kw)
+    assert int(np.asarray(out_1["counts"]).sum()) > 20
+    for name in ("pads", "tbs_i", "charges", "labels", "events",
+                 "cloud_valid", "counts", "n_points"):
+        np.testing.assert_array_equal(
+            np.asarray(out_1[name]), np.asarray(out_2[name]), err_msg=name
+        )
