@@ -46,59 +46,98 @@ _LANES = 128
 _PAD = np.int32(2**31 - 1)  # sorts after every real (nonneg) element
 
 
-def _bit_mask(shape, dist: int):
-    """Boolean [S, L]: (element_index & dist) == 0 for power-of-two dist."""
+def _bit_mask(shape, dist: int, trans: bool = False):
+    """Boolean mask: (element_index & dist) == 0 for power-of-two dist.
+
+    Normal layout [S, L]: lane dim (axis 1) holds index bits 0-6, sublane
+    dim (axis 0) bits 7+. Transposed layout [L, S] swaps the axes.
+    """
     if dist < _LANES:
-        io = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        io = jax.lax.broadcasted_iota(jnp.int32, shape, 0 if trans else 1)
         return (io & np.int32(dist)) == 0
-    io = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    io = jax.lax.broadcasted_iota(jnp.int32, shape, 1 if trans else 0)
     return (io & np.int32(dist // _LANES)) == 0
 
 
-def _partner(x, low, dist: int):
+def _partner(x, low, dist: int, trans: bool = False):
     """Value at index i XOR dist: roll both directions, pick per element."""
     if dist < _LANES:
-        fwd = jnp.roll(x, -dist, axis=1)
-        bwd = jnp.roll(x, dist, axis=1)
+        axis, k = (0 if trans else 1), dist
     else:
-        k = dist // _LANES
-        fwd = jnp.roll(x, -k, axis=0)
-        bwd = jnp.roll(x, k, axis=0)
+        axis, k = (1 if trans else 0), dist // _LANES
+    fwd = jnp.roll(x, -k, axis=axis)
+    bwd = jnp.roll(x, k, axis=axis)
     return jnp.where(low, fwd, bwd)
 
 
-def _sort_kernel(hi_ref, lo_ref, oh_ref, ol_ref, *, total: int):
-    """Full bitonic sort of one [S, 128] row pair, entirely in VMEM."""
+def _stage(h, l, d: int, sz: int, trans: bool):  # noqa: E741
+    """One bitonic compare-exchange stage at XOR-distance d, phase sz."""
+    shape = h.shape
+    asc = _bit_mask(shape, sz, trans)  # (i & total) == 0 is all-True
+    low = _bit_mask(shape, d, trans)
+    ph = _partner(h, low, d, trans)
+    plo = _partner(l, low, d, trans)
+    eq = h == ph
+    gt = (h > ph) | (eq & (l > plo))
+    lt = (h < ph) | (eq & (l < plo))
+    # ascending & low-index keeps the min (swap on gt); the other three
+    # (asc, low) cases follow by symmetry
+    take = jnp.where(asc == low, gt, lt)
+    return jnp.where(take, ph, h), jnp.where(take, plo, l)
+
+
+def _sort_kernel(hi_ref, lo_ref, oh_ref, ol_ref, *, total: int,
+                 lane_mode: str):
+    """Full bitonic sort of one [S, 128] row pair, entirely in VMEM.
+
+    lane_mode selects how lane-dim stages (XOR distance < 128) run:
+    "roll" uses lane rotations in place; "transpose" moves the data to
+    [128, S] once per lane-stage run so every rotation is a cheap
+    sublane roll (hedge: Mosaic lane rotations may lower as expensive
+    relayouts — measure both on silicon, tools/microbench_sort_pallas.py).
+    """
     h = hi_ref[0]
     l = lo_ref[0]  # noqa: E741 — paired with h throughout
-    shape = h.shape
-    sz = 2
-    while sz <= total:
-        asc = _bit_mask(shape, sz)  # (i & total) == 0 is all-True
-        d = sz // 2
-        while d >= 1:
-            low = _bit_mask(shape, d)
-            ph = _partner(h, low, d)
-            plo = _partner(l, low, d)
-            eq = h == ph
-            gt = (h > ph) | (eq & (l > plo))
-            lt = (h < ph) | (eq & (l < plo))
-            # ascending & low-index keeps the min (swap on gt); the other
-            # three (asc, low) cases follow by symmetry
-            take = jnp.where(asc == low, gt, lt)
-            h = jnp.where(take, ph, h)
-            l = jnp.where(take, plo, l)  # noqa: E741
-            d //= 2
-        sz *= 2
+    if lane_mode == "roll":
+        sz = 2
+        while sz <= total:
+            d = sz // 2
+            while d >= 1:
+                h, l = _stage(h, l, d, sz, False)  # noqa: E741
+                d //= 2
+            sz *= 2
+    else:
+        # phases sz = 2..128 are entirely lane-dim: one transposed run
+        ht, lt = h.T, l.T
+        sz = 2
+        while sz <= min(total, _LANES):
+            d = sz // 2
+            while d >= 1:
+                ht, lt = _stage(ht, lt, d, sz, True)
+                d //= 2
+            sz *= 2
+        h, l = ht.T, lt.T  # noqa: E741
+        while sz <= total:
+            d = sz // 2
+            while d >= _LANES:
+                h, l = _stage(h, l, d, sz, False)  # noqa: E741
+                d //= 2
+            ht, lt = h.T, l.T
+            while d >= 1:
+                ht, lt = _stage(ht, lt, d, sz, True)
+                d //= 2
+            h, l = ht.T, lt.T  # noqa: E741
+            sz *= 2
     oh_ref[0] = h
     ol_ref[0] = l
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("interpret", "lane_mode"))
 def sort_pairs_pallas(
     hi: jax.Array,
     lo: jax.Array,
     interpret: bool | None = None,
+    lane_mode: str = "roll",
 ) -> tuple[jax.Array, jax.Array]:
     """Row-wise ascending lexicographic sort of (hi, lo) i32 pairs.
 
@@ -107,6 +146,7 @@ def sort_pairs_pallas(
     INT32_MAX pairs (they sort last and are sliced back off), so W may
     be arbitrary. Bit-exact drop-in for
     ``lax.sort(key<<32 | f32_bits, dimension=1)`` on nonneg planes.
+    ``lane_mode``: see ``_sort_kernel``.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -123,7 +163,7 @@ def sort_pairs_pallas(
     zero = np.int32(0)
     spec = pl.BlockSpec((1, s, _LANES), lambda b: (b, zero, zero))
     oh, ol = pl.pallas_call(
-        partial(_sort_kernel, total=total),
+        partial(_sort_kernel, total=total, lane_mode=lane_mode),
         grid=(e,),
         in_specs=[spec, spec],
         out_specs=[spec, spec],

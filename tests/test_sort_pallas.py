@@ -29,9 +29,12 @@ def _lax_reference(hi, lo):
 
 def _check(hi, lo):
     rh, rl = _lax_reference(jnp.asarray(hi), jnp.asarray(lo))
-    ph, plo = sort_pairs_pallas(jnp.asarray(hi), jnp.asarray(lo))
-    np.testing.assert_array_equal(np.asarray(ph), rh)
-    np.testing.assert_array_equal(np.asarray(plo), rl)
+    for lane_mode in ("roll", "transpose"):
+        ph, plo = sort_pairs_pallas(
+            jnp.asarray(hi), jnp.asarray(lo), lane_mode=lane_mode
+        )
+        np.testing.assert_array_equal(np.asarray(ph), rh, err_msg=lane_mode)
+        np.testing.assert_array_equal(np.asarray(plo), rl, err_msg=lane_mode)
 
 
 @pytest.mark.parametrize("w", [256, 300, 1000, 1024])
