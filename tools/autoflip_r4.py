@@ -1,0 +1,93 @@
+"""Flip the round-4 kernel defaults based on the measured TPU A/B.
+
+Reads the verdict line from /tmp/r4_ab.log (written by tools/ab_round4.py
+on real TPU), and if a kernel combo beats base by >= 3% it flips the
+corresponding EngineParams defaults to "auto" (single-chip TPU only,
+same semantics as the r3 kernels), reruns the bit-exactness test files
+on CPU, and commits. Reverts the edit if the tests fail. Invoked by
+tools/r4_post_runbook.sh after the A/B; safe to re-run (idempotent
+string replaces).
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+SIM = REPO / "attpc_engine_tpu" / "detector" / "simulator.py"
+LOG = Path("/tmp/r4_ab.log")
+
+
+def main():
+    if not LOG.exists():
+        print("no A/B log; nothing to do")
+        return 0
+    verdict = None
+    for line in LOG.read_text().splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                d = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "verdict" in d:
+                verdict = d
+    if not verdict:
+        print("no verdict line; nothing to do")
+        return 0
+    combo = verdict["verdict"]
+    speedup = float(verdict.get("speedup_vs_base", 0.0))
+    print(f"A/B verdict: {combo} ({speedup:.3f}x vs base)")
+    if combo == "base" or speedup < 1.03:
+        print("no flip: base wins or win < 3%")
+        return 0
+
+    src = SIM.read_text()
+    edits = []
+    if "sort" in combo:
+        edits.append(('    pallas_sort: bool | str = False',
+                      '    pallas_sort: bool | str = "auto"'))
+    if "2s" in combo:
+        edits.append(('    lookup_two_stage: bool | str = False',
+                      '    lookup_two_stage: bool | str = "auto"'))
+    changed = False
+    for old, new in edits:
+        if old in src:
+            src = src.replace(old, new)
+            changed = True
+        elif new in src:
+            print(f"already flipped: {new.strip()}")
+    if not changed:
+        print("nothing to edit")
+        return 0
+    SIM.write_text(src)
+
+    rc = subprocess.run(
+        [sys.executable, "-m", "pytest",
+         "tests/test_deposit_pallas.py", "tests/test_sort_pallas.py", "-q"],
+        cwd=REPO, timeout=2400,
+    ).returncode
+    if rc != 0:
+        subprocess.run(["git", "checkout", "--", str(SIM)], cwd=REPO)
+        print("identity tests FAILED; reverted the flip")
+        return 1
+    msg = (
+        f"Enable measured round-4 kernel defaults ({combo}, "
+        f"{speedup:.2f}x fused-step win on TPU A/B)\n\n"
+        "Flipped by tools/autoflip_r4.py from the tools/ab_round4.py "
+        "verdict in /tmp/r4_ab.log; bit-exactness test files re-run "
+        "green before committing.\n\n"
+        "No-Verification-Needed: default flip validated by measured TPU "
+        "A/B + identity tests"
+    )
+    subprocess.run(["git", "add", str(SIM)], cwd=REPO, check=True)
+    subprocess.run(["git", "commit", "-m", msg], cwd=REPO, check=True)
+    print("flipped and committed")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

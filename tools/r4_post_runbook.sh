@@ -38,5 +38,10 @@ run() {
 
 run sortbench 2400 python tools/microbench_sort_pallas.py
 run ab        3600 python tools/ab_round4.py
+# flip defaults if the A/B won by >=3% (identity tests re-run, commit);
+# runs on CPU, after all TPU work above has fully exited
+run autoflip  3000 python tools/autoflip_r4.py
+# warm the persistent compile cache at the (possibly flipped) defaults
+# so the driver's round-end BENCH run compiles nothing
 run benchwarm 2400 python bench.py
 echo "r4 chain done $(date)" >> "$S"
