@@ -521,8 +521,9 @@ def deposit_and_merge(
     # 4 fewer bytes per wire row, f64 wiggle arithmetic like the
     # reference's, and a wiggle stream independent of events_per_batch.
     # The raw draw is per EVENT (one key per row of ``key``), so it too is
-    # batch-layout invariant — though still tied to ``uniq_budget`` (the
-    # draw's per-event shape), unlike the host wiggle.
+    # batch-layout invariant — and since threefry is counter-based
+    # (uniform(key, (n,))[i] depends only on (key, i); verified), the
+    # value a given merged row sees is ALSO uniq_budget-independent.
     cap = valid2.shape[1]
     wiggle = jax.vmap(
         lambda kk: jax.random.uniform(kk, (cap,), dtype=f32)
