@@ -1,6 +1,7 @@
 """Example stage-2 script: apply AT-TPC detector effects to a kinematics
 file, producing Spyral-compatible point-cloud files."""
 
+import os
 from pathlib import Path
 
 from attpc_engine_tpu import nuclear_map
@@ -46,4 +47,13 @@ if __name__ == "__main__":
     # SpyralWriterProc (same signature) writes byte-identical files from a
     # separate OS process, overlapping all host I/O with device work
     writer = SpyralWriter(cloud_dir, config)
-    run_simulation(config, kine_path, writer, seed=1234)
+    # EXAMPLE_EVENTS caps the batch size for smoke tests (tiny CI runs)
+    engine = None
+    cap = os.environ.get("EXAMPLE_EVENTS")
+    if cap is not None:
+        from attpc_engine_tpu.detector import EngineParams
+
+        engine = EngineParams(
+            events_per_batch=min(64, int(cap)), n_time_steps=1000,
+        )
+    run_simulation(config, kine_path, writer, seed=1234, engine=engine)

@@ -5,6 +5,7 @@ Simulates 16C(d,d')16C* inverse-kinematics elastic/inelastic scattering at
 getting-started guide, at TPU batch scale.
 """
 
+import os
 from pathlib import Path
 
 import numpy as np
@@ -25,7 +26,7 @@ output_path.parent.mkdir(parents=True, exist_ok=True)
 
 target = GasTarget([(1, 2, 2)], 300.0, nuclear_map)  # D2 at 300 Torr
 
-nevents = 100_000
+nevents = int(os.environ.get("EXAMPLE_EVENTS", 100_000))
 beam_energy = 184.131  # MeV
 
 pipeline = KinematicsPipeline(
