@@ -178,7 +178,7 @@ def _merge_runs(
     qv: jax.Array,
     cap: int,
     rank_bits: int,
-    pallas_sort: bool = False,
+    pallas_sort: bool | str = False,
 ):
     """Merge per-row entries with equal (packed >> rank_bits) keys.
 
@@ -196,6 +196,11 @@ def _merge_runs(
     bitonic kernel (sort_pallas.py) — bit-exact by construction (same
     lexicographic order on the same planes, tests/test_sort_pallas.py),
     but paying HBM twice instead of once per network stage.
+    ``pallas_sort="fused"`` runs the ENTIRE merge (both sorts, the
+    charge prefix and the run-end mask) as one kernel
+    (sort_pallas.merge_runs_fused_pallas): integer outputs stay
+    bit-exact; the f32 charge sums match the lax path only to ulps (the
+    in-VMEM prefix associates differently than XLA's tree cumsum).
 
     packed: [E, W] int32, KEY_SENTINEL for dead lanes (their qv must be 0).
     qv: [E, W] f32 nonnegative charges.
@@ -208,6 +213,17 @@ def _merge_runs(
     cap = min(cap, packed.shape[1])
     f32 = jnp.float32
     i64 = jnp.int64
+
+    if pallas_sort == "fused":
+        from .sort_pallas import merge_runs_fused_pallas
+
+        key2, c2, n_uniq = merge_runs_fused_pallas(
+            packed, qv, cap, rank_bits
+        )
+        valid2 = key2 != KEY_SENTINEL
+        prev = jnp.concatenate([jnp.zeros((e, 1), f32), c2[:, :-1]], axis=1)
+        sums = jnp.where(valid2, jnp.maximum(c2 - prev, 0.0), 0.0)
+        return key2, sums, valid2, n_uniq
 
     def pack64(key_i32, val_f32):
         # key in the high 32 bits (keys are nonnegative i32, so the i64

@@ -168,9 +168,12 @@ class EngineParams:
         None) regardless of this flag.
     pallas_sort: bool | str
         Same semantics for the in-VMEM bitonic merge sorts
-        (sort_pallas.py); bit-exact vs lax.sort. Default False until the
-        TPU A/B lands (docs/roofline.md derives the expected ~3-4x on the
-        sort stage).
+        (sort_pallas.py); bit-exact vs lax.sort. ``"fused"`` runs the
+        ENTIRE merge (both sorts + charge prefix + run-end mask) as one
+        kernel — integer outputs bit-exact, charges to f32 ulps (the
+        in-VMEM prefix associates differently than XLA's cumsum).
+        Default False until the TPU A/B lands (docs/roofline.md derives
+        the expected ~3-4x on the sort stage).
     lookup_two_stage: bool | str
         Same semantics for the two-stage lookup select (second one-hot
         MXU matmul per 12-point group + narrow VPU select,
@@ -345,7 +348,11 @@ class DetectorSimulator:
         pallas_on = self._pallas_enabled
         use_pallas = pallas_on(eng.pallas_transport)
         use_pallas_lookup = pallas_on(eng.pallas_lookup)
-        use_pallas_sort = pallas_on(eng.pallas_sort)
+        # "fused" = whole-merge kernel (sort_pallas.merge_runs_fused_pallas)
+        use_pallas_sort = (
+            "fused" if eng.pallas_sort == "fused"
+            else pallas_on(eng.pallas_sort)
+        )
         if use_pallas and n_steps <= eng.chunk_steps:
             # single window fits one kernel launch
             from .transport_pallas import integrate_tracks_pallas

@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-__all__ = ["sort_pairs_pallas", "sort_i64_pallas"]
+__all__ = ["sort_pairs_pallas", "sort_i64_pallas", "merge_runs_fused_pallas"]
 
 _LANES = 128
 _PAD = np.int32(2**31 - 1)  # sorts after every real (nonneg) element
@@ -84,6 +84,161 @@ def _stage(h, l, d: int, sz: int, trans: bool):  # noqa: E741
     # (asc, low) cases follow by symmetry
     take = jnp.where(asc == low, gt, lt)
     return jnp.where(take, ph, h), jnp.where(take, plo, l)
+
+
+def _bitonic(h, l, total: int, lane_mode: str):  # noqa: E741
+    """Full bitonic network over the flattened [S, 128] pair (see
+    _sort_kernel for lane_mode semantics). Generic over the l plane's
+    dtype — i32 bit-compare of nonneg f32 equals f32 compare, so the
+    fused merge kernel carries charges as f32 directly."""
+    if lane_mode == "roll":
+        sz = 2
+        while sz <= total:
+            d = sz // 2
+            while d >= 1:
+                h, l = _stage(h, l, d, sz, False)  # noqa: E741
+                d //= 2
+            sz *= 2
+        return h, l
+    ht, lt = h.T, l.T
+    sz = 2
+    while sz <= min(total, _LANES):
+        d = sz // 2
+        while d >= 1:
+            ht, lt = _stage(ht, lt, d, sz, True)
+            d //= 2
+        sz *= 2
+    h, l = ht.T, lt.T  # noqa: E741
+    while sz <= total:
+        d = sz // 2
+        while d >= _LANES:
+            h, l = _stage(h, l, d, sz, False)  # noqa: E741
+            d //= 2
+        ht, lt = h.T, l.T
+        while d >= 1:
+            ht, lt = _stage(ht, lt, d, sz, True)
+            d //= 2
+        h, l = ht.T, lt.T  # noqa: E741
+        sz *= 2
+    return h, l
+
+
+def _cumsum_flat(c):
+    """Inclusive prefix sum of an [S, 128] f32 tile in flattened index
+    order, entirely in VMEM: Hillis-Steele along lanes, then an
+    exclusive sublane prefix of the row totals added back. NOTE: the
+    summation association differs from XLA's tree cumsum, so results
+    match it only to f32 ulps (documented where consumed)."""
+    s, l = c.shape  # noqa: E741
+    lane = jax.lax.broadcasted_iota(jnp.int32, (s, l), 1)
+    d = 1
+    while d < l:
+        c = c + jnp.where(lane >= d, jnp.roll(c, d, axis=1), 0.0)
+        d *= 2
+    # row totals (lane L-1 of the inclusive row prefix), [S, 1]
+    rt = jnp.sum(
+        jnp.where(lane == l - 1, c, 0.0), axis=1, keepdims=True
+    )
+    sub = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0)
+    x = jnp.where(sub >= 1, jnp.roll(rt, 1, axis=0), 0.0)
+    d = 1
+    while d < s:
+        x = x + jnp.where(sub >= d, jnp.roll(x, d, axis=0), 0.0)
+        d *= 2
+    return c + x
+
+
+def _run_last_flat(u, sentinel_mask):
+    """Mask of run-last elements of i32 keys in flattened [S, 128] order
+    (the very last element is always a run end)."""
+    s, l = u.shape  # noqa: E741
+    lane = jax.lax.broadcasted_iota(jnp.int32, (s, l), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (s, l), 0)
+    a = jnp.roll(u, -1, axis=1)
+    b = jnp.roll(jnp.roll(u, -1, axis=0), -1, axis=1)
+    nxt = jnp.where(lane == l - 1, b, a)
+    last = (u != nxt) | ((lane == l - 1) & (sub == s - 1))
+    return last & ~sentinel_mask
+
+
+def _merge_kernel(pk_ref, qv_ref, ok_ref, oc_ref, on_ref, *, total: int,
+                  rank_bits: int, lane_mode: str):
+    """The whole _merge_runs of one event row in one kernel: sort by
+    (packed key, charge), in-VMEM charge prefix, run-end mask, compacting
+    second sort — HBM is paid once in and once out instead of at every
+    network stage + every XLA pass between the two lax.sorts."""
+    h = pk_ref[0]
+    q = qv_ref[0]
+    h, q = _bitonic(h, q, total, lane_mode)
+    c = _cumsum_flat(q)
+    sent = h == _PAD  # KEY_SENTINEL == INT32_MAX == the wrapper's pad
+    real_last = _run_last_flat(h >> np.int32(rank_bits), sent)
+    on_ref[0] = jnp.sum(
+        real_last.astype(jnp.int32), dtype=jnp.int32, keepdims=True
+    ) * jnp.ones_like(on_ref[0])
+    h2 = jnp.where(real_last, h, _PAD)
+    c2 = jnp.where(real_last, c, 0.0)
+    h2, c2 = _bitonic(h2, c2, total, lane_mode)
+    cap_s = ok_ref.shape[1]
+    ok_ref[0] = h2[:cap_s]
+    oc_ref[0] = c2[:cap_s]
+
+
+@partial(jax.jit, static_argnames=("cap", "rank_bits", "interpret",
+                                   "lane_mode"))
+def merge_runs_fused_pallas(
+    packed: jax.Array,
+    qv: jax.Array,
+    cap: int,
+    rank_bits: int,
+    interpret: bool | None = None,
+    lane_mode: str = "roll",
+):
+    """Fused equal-key merge: returns (key2 [E, cap] ascending with
+    sentinel padding, c2 [E, cap] inclusive prefix at run ends, n_uniq
+    [E]). Drop-in for the two-lax.sort + jnp.cumsum formulation in
+    deposition._merge_runs, with integer outputs BIT-exact and the f32
+    prefix equal to XLA's tree cumsum only to ulps (different summation
+    association) — callers difference consecutive entries, so per-run
+    sums inherit that ulp-level difference.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    e, w = packed.shape
+    cap = min(cap, w)
+    total = max(_LANES * 2, 1 << (w - 1).bit_length())
+    if total != w:
+        packed = jnp.pad(
+            packed, ((0, 0), (0, total - w)), constant_values=_PAD
+        )
+        qv = jnp.pad(qv, ((0, 0), (0, total - w)))
+    s = total // _LANES
+    cap_s = min(s, -(-cap // _LANES))  # sublane rows covering cap
+    pk3 = packed.reshape(e, s, _LANES)
+    qv3 = qv.astype(jnp.float32).reshape(e, s, _LANES)
+
+    zero = np.int32(0)
+    spec_in = pl.BlockSpec((1, s, _LANES), lambda b: (b, zero, zero))
+    spec_cap = pl.BlockSpec((1, cap_s, _LANES), lambda b: (b, zero, zero))
+    spec_n = pl.BlockSpec((1, 1, _LANES), lambda b: (b, zero, zero))
+    ok, oc, on = pl.pallas_call(
+        partial(_merge_kernel, total=total, rank_bits=rank_bits,
+                lane_mode=lane_mode),
+        grid=(e,),
+        in_specs=[spec_in, spec_in],
+        out_specs=[spec_cap, spec_cap, spec_n],
+        out_shape=[
+            jax.ShapeDtypeStruct((e, cap_s, _LANES), jnp.int32),
+            jax.ShapeDtypeStruct((e, cap_s, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((e, 1, _LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(pk3, qv3)
+    return (
+        ok.reshape(e, cap_s * _LANES)[:, :cap],
+        oc.reshape(e, cap_s * _LANES)[:, :cap],
+        on[:, 0, 0],
+    )
 
 
 def _sort_kernel(hi_ref, lo_ref, oh_ref, ol_ref, *, total: int,

@@ -122,3 +122,98 @@ def test_sort_i64_matches_lax():
     )
     got = np.asarray(sort_i64_pallas(jnp.asarray(key)))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_merge_runs_fused_matches_lax_path():
+    """merge_runs_fused_pallas vs deposition._merge_runs: integer outputs
+    (keys, validity, n_uniq) BIT-exact; the charge prefix to f32 ulps
+    (the in-VMEM Hillis-Steele prefix associates differently than XLA's
+    tree cumsum)."""
+    from attpc_engine_tpu.detector.deposition import _merge_runs
+    from attpc_engine_tpu.detector.sort_pallas import merge_runs_fused_pallas
+
+    rng = np.random.default_rng(41)
+    e, w, cap, rank_bits = 3, 700, 256, 2
+    # realistic key structure: runs of equal space keys, rank in low bits
+    space = np.sort(rng.integers(0, 150, (e, w)), axis=1).astype(np.int32)
+    rank = rng.integers(0, 4, (e, w)).astype(np.int32)
+    packed = (space << rank_bits) | rank
+    qv = np.abs(rng.normal(100.0, 30.0, (e, w))).astype(np.float32)
+    dead = rng.random((e, w)) < 0.2
+    packed[dead] = KEY_SENTINEL
+    qv[dead] = 0.0
+
+    k_ref, sums_ref, valid_ref, n_ref = _merge_runs(
+        jnp.asarray(packed), jnp.asarray(qv), cap, rank_bits
+    )
+    k2, c2, n2 = merge_runs_fused_pallas(
+        jnp.asarray(packed), jnp.asarray(qv), cap, rank_bits
+    )
+    np.testing.assert_array_equal(np.asarray(k2), np.asarray(k_ref))
+    np.testing.assert_array_equal(np.asarray(n2), np.asarray(n_ref))
+    valid2 = np.asarray(k2) != KEY_SENTINEL
+    np.testing.assert_array_equal(valid2, np.asarray(valid_ref))
+    prev = np.concatenate(
+        [np.zeros((e, 1), np.float32), np.asarray(c2)[:, :-1]], axis=1
+    )
+    sums2 = np.where(valid2, np.maximum(np.asarray(c2) - prev, 0.0), 0.0)
+    np.testing.assert_allclose(
+        sums2, np.asarray(sums_ref), rtol=1e-5, atol=1e-2
+    )
+    # totals conserved exactly-ish: same charges, different association
+    np.testing.assert_allclose(
+        sums2.sum(axis=1), np.asarray(sums_ref).sum(axis=1), rtol=1e-6
+    )
+
+
+def test_deposit_and_merge_fused_integer_identity():
+    """Full deposit path with pallas_sort='fused': all integer outputs
+    identical to the lax path; charges allclose."""
+    import jax as _jax
+
+    from attpc_engine_tpu.detector.deposition import (
+        deposit_and_merge,
+        event_keys,
+    )
+    from tests.test_deposit_pallas import _config
+
+    config = _config()
+    dev = config.device_arrays()
+    rng = np.random.default_rng(43)
+    e, k, t = 2, 2, 30
+    b = e * k
+    positions = np.zeros((t, b, 3), np.float32)
+    positions[:, :, 0] = np.cumsum(rng.normal(0, 0.004, (t, b)), 0)
+    positions[:, :, 1] = 0.08 + np.cumsum(rng.normal(0, 0.004, (t, b)), 0)
+    positions[:, :, 2] = rng.uniform(0.1, 0.99, (t, b))
+    electrons = rng.integers(0, 2000, (t, b)).astype(np.int32)
+    valid = rng.random((t, b)) < 0.9
+    labels = np.tile(np.arange(k, dtype=np.int32) + 2, e)
+    kw = dict(
+        key_grid_mm=dev["key_grid_mm"], grid_lo_mm=dev["grid_lo_mm"],
+        grid_n_mm=dev["grid_n_mm"], diffusion=config.det_params.diffusion,
+        efield=config.det_params.efield,
+        drift_velocity=config.drift_velocity, micromegas_edge=10.0,
+        length=1.0, mpgd_gain=175000.0, n_events=e, tracks_per_event=k,
+        point_budget=128, uniq_budget=4096,
+    )
+    key = event_keys(_jax.random.PRNGKey(47), e)
+    args = (key, jnp.asarray(positions), jnp.asarray(electrons),
+            jnp.asarray(valid), jnp.asarray(labels))
+    out_lax = deposit_and_merge(*args, **kw)
+    out_f = deposit_and_merge(*args, pallas_sort="fused", **kw)
+    for name in ("pads", "tbs_i", "labels", "events", "cloud_valid",
+                 "counts", "n_points", "uniq_overflow", "pool_overflow"):
+        np.testing.assert_array_equal(
+            np.asarray(out_lax[name]), np.asarray(out_f[name]), err_msg=name
+        )
+    # charges carry the documented ulp-level prefix wobble AMPLIFIED by
+    # the MPGD gain (175,000x here): compare in electron units with a
+    # one-electron absolute floor (the reference itself truncates pixels
+    # to whole electrons) — observed wobble is ~0.01 electrons
+    gain = 175000.0
+    np.testing.assert_allclose(
+        np.asarray(out_f["charges"]) / gain,
+        np.asarray(out_lax["charges"]) / gain,
+        rtol=1e-5, atol=1.0,
+    )

@@ -8,6 +8,7 @@ steps=500 / out=4096) for the four combinations of the two new kernels:
   +sort           — in-VMEM Pallas bitonic merge/convert sorts
   +2s             — two-stage MXU lookup select
   +sort+2s        — both
+  +fused(+2s)     — whole-merge fused kernel (charges exact only to ulps)
 
 Prints one JSON line per combo (median ms over AB_REPS, ev/s) and a
 verdict line. Serialize with other TPU scripts (CLAUDE.md). Env:
@@ -55,6 +56,8 @@ def main():
         ("+sort", dict(pallas_sort=True)),
         ("+2s", dict(lookup_two_stage=True)),
         ("+sort+2s", dict(pallas_sort=True, lookup_two_stage=True)),
+        ("+fused", dict(pallas_sort="fused")),
+        ("+fused+2s", dict(pallas_sort="fused", lookup_two_stage=True)),
     ]
     results = {}
     for name, flags in combos:

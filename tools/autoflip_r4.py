@@ -44,10 +44,24 @@ def main():
     if combo == "base" or speedup < 1.03:
         print("no flip: base wins or win < 3%")
         return 0
+    # prefer the BIT-exact sort over the fused merge unless fused wins by
+    # >2% over its exact counterpart (fused trades ulp-level charge
+    # equality for the extra fusion)
+    if "fused" in combo:
+        alt = combo.replace("fused", "sort")
+        times = verdict.get("all", {})
+        if alt in times and combo in times:
+            if times[alt] <= times[combo] * 1.02:
+                print(f"preferring bit-exact {alt} "
+                      f"({times[alt]} vs {times[combo]} ms)")
+                combo = alt
 
     src = SIM.read_text()
     edits = []
-    if "sort" in combo:
+    if "fused" in combo:
+        edits.append(('    pallas_sort: bool | str = False',
+                      '    pallas_sort: bool | str = "fused"'))
+    elif "sort" in combo:
         edits.append(('    pallas_sort: bool | str = False',
                       '    pallas_sort: bool | str = "auto"'))
     if "2s" in combo:
