@@ -217,3 +217,37 @@ def test_deposit_and_merge_fused_integer_identity():
         np.asarray(out_lax["charges"]) / gain,
         rtol=1e-5, atol=1.0,
     )
+
+
+def test_merge_runs_fused_bench_width():
+    """One event row at the real bench shapes (W = 57,600 lanes padded to
+    2^16, cap = 12,288): integer outputs bit-exact vs the lax path."""
+    from attpc_engine_tpu.detector.deposition import _merge_runs
+    from attpc_engine_tpu.detector.sort_pallas import merge_runs_fused_pallas
+
+    rng = np.random.default_rng(53)
+    e, w, cap, rank_bits = 1, 57600, 12288, 2
+    space = rng.integers(0, 40_000, (e, w)).astype(np.int32)
+    rank = rng.integers(0, 4, (e, w)).astype(np.int32)
+    packed = (space << rank_bits) | rank
+    qv = np.abs(rng.normal(100.0, 30.0, (e, w))).astype(np.float32)
+    dead = rng.random((e, w)) < 0.3
+    packed[dead] = KEY_SENTINEL
+    qv[dead] = 0.0
+
+    k_ref, sums_ref, valid_ref, n_ref = _merge_runs(
+        jnp.asarray(packed), jnp.asarray(qv), cap, rank_bits
+    )
+    k2, c2, n2 = merge_runs_fused_pallas(
+        jnp.asarray(packed), jnp.asarray(qv), cap, rank_bits
+    )
+    np.testing.assert_array_equal(np.asarray(k2), np.asarray(k_ref))
+    np.testing.assert_array_equal(np.asarray(n2), np.asarray(n_ref))
+    prev = np.concatenate(
+        [np.zeros((e, 1), np.float32), np.asarray(c2)[:, :-1]], axis=1
+    )
+    valid2 = np.asarray(k2) != KEY_SENTINEL
+    sums2 = np.where(valid2, np.maximum(np.asarray(c2) - prev, 0.0), 0.0)
+    np.testing.assert_allclose(
+        sums2, np.asarray(sums_ref), rtol=1e-4, atol=0.5
+    )
