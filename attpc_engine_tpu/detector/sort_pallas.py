@@ -44,6 +44,9 @@ __all__ = ["sort_pairs_pallas", "sort_i64_pallas", "merge_runs_fused_pallas"]
 
 _LANES = 128
 _PAD = np.int32(2**31 - 1)  # sorts after every real (nonneg) element
+# rows padded beyond this no longer fit the ~10 MB usable scoped VMEM
+# (working set ~ 8 copies x P x 4 B): callers fall back to lax.sort
+MAX_INVMEM_TOTAL = 1 << 18
 
 
 def _bit_mask(shape, dist: int, trans: bool = False):

@@ -251,3 +251,33 @@ def test_merge_runs_fused_bench_width():
     np.testing.assert_allclose(
         sums2, np.asarray(sums_ref), rtol=1e-4, atol=0.5
     )
+
+
+def test_vmem_budget_guard_falls_back_to_lax(monkeypatch):
+    """A row that would pad past MAX_INVMEM_TOTAL (2^18 lanes) must never
+    reach the Pallas kernels — _merge_runs silently keeps the lax path
+    (huge point_budget configs would otherwise blow the ~10 MB scoped
+    VMEM; sort_pallas.MAX_INVMEM_TOTAL)."""
+    from attpc_engine_tpu.detector import sort_pallas
+    from attpc_engine_tpu.detector.deposition import _merge_runs
+
+    def _boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("Pallas sort called past the VMEM budget")
+
+    monkeypatch.setattr(sort_pallas, "sort_pairs_pallas", _boom)
+    monkeypatch.setattr(sort_pallas, "merge_runs_fused_pallas", _boom)
+
+    rng = np.random.default_rng(59)
+    e, w, cap, rank_bits = 1, 2**18 + 1, 64, 2
+    space = rng.integers(0, 1000, (e, w)).astype(np.int32)
+    packed = (space << rank_bits) | rng.integers(0, 4, (e, w)).astype(np.int32)
+    qv = np.abs(rng.normal(10.0, 3.0, (e, w))).astype(np.float32)
+
+    ref = _merge_runs(jnp.asarray(packed), jnp.asarray(qv), cap, rank_bits)
+    for flag in (True, "fused"):
+        got = _merge_runs(
+            jnp.asarray(packed), jnp.asarray(qv), cap, rank_bits,
+            pallas_sort=flag,
+        )
+        for r, g in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
