@@ -214,10 +214,13 @@ def _merge_runs(
     f32 = jnp.float32
     i64 = jnp.int64
 
-    if pallas_sort and 1 << (packed.shape[1] - 1).bit_length() > 2**18:
-        # a padded row would blow the kernel's VMEM budget (sort_pallas.
-        # MAX_INVMEM_TOTAL) — huge point_budget configs keep the lax path
-        pallas_sort = False
+    if pallas_sort:
+        from .sort_pallas import fits_invmem
+
+        if not fits_invmem(packed.shape[1]):
+            # a padded row would blow the kernel's VMEM budget — huge
+            # point_budget configs keep the lax path
+            pallas_sort = False
 
     if pallas_sort == "fused":
         from .sort_pallas import merge_runs_fused_pallas

@@ -628,12 +628,13 @@ class DetectorSimulator:
         # ordering bits — pin every dropped row to i64 max (sorts last; the
         # slot mask below never reads past the kept prefix anyway)
         key64 = jnp.where(keep, key64, jnp.int64(0x7FFFFFFFFFFFFFFF))
-        if (
-            self._pallas_enabled(self.engine.pallas_sort)
-            and 1 << (w - 1).bit_length() <= 2**18
-        ):
-            from .sort_pallas import sort_i64_pallas
+        if self._pallas_enabled(self.engine.pallas_sort):
+            from .sort_pallas import fits_invmem, sort_i64_pallas
 
+            use_pallas = fits_invmem(w)
+        else:
+            use_pallas = False
+        if use_pallas:
             k_s = sort_i64_pallas(key64.reshape(e, w))
         else:
             k_s = jax.lax.sort(

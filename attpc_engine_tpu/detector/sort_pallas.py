@@ -49,6 +49,12 @@ _PAD = np.int32(2**31 - 1)  # sorts after every real (nonneg) element
 MAX_INVMEM_TOTAL = 1 << 18
 
 
+def fits_invmem(width: int) -> bool:
+    """True if a row of ``width`` lanes, padded to the next power of two,
+    fits the kernels' VMEM budget. Callers keep the lax path otherwise."""
+    return 1 << (int(width) - 1).bit_length() <= MAX_INVMEM_TOTAL
+
+
 def _bit_mask(shape, dist: int, trans: bool = False):
     """Boolean mask: (element_index & dist) == 0 for power-of-two dist.
 
