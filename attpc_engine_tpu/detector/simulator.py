@@ -172,8 +172,12 @@ class EngineParams:
         ENTIRE merge (both sorts + charge prefix + run-end mask) as one
         kernel — integer outputs bit-exact, charges to f32 ulps (the
         in-VMEM prefix associates differently than XLA's cumsum).
-        Default False until the TPU A/B lands (docs/roofline.md derives
-        the expected ~3-4x on the sort stage).
+        ``"fused"`` is auto-gated exactly like ``"auto"`` (single-chip
+        TPU only), so it is safe as a default; rows too wide for the
+        kernels' VMEM budget fall back to lax.sort either way
+        (sort_pallas.fits_invmem). Default False until the TPU A/B
+        lands (docs/roofline.md derives the expected ~3-4x on the sort
+        stage).
     lookup_two_stage: bool | str
         Same semantics for the two-stage lookup select (second one-hot
         MXU matmul per 12-point group + narrow VPU select,
@@ -290,10 +294,12 @@ class DetectorSimulator:
     # ------------------------------------------------------------------ #
 
     def _pallas_enabled(self, flag) -> bool:
-        """bool | "auto" -> effective enablement (auto = single-chip TPU:
-        the CPU fallback is the slow interpreter, and pallas_call does not
-        partition under a >1-device mesh)."""
-        if flag == "auto":
+        """bool | "auto" | "fused" -> effective enablement (auto = single-
+        chip TPU: the CPU fallback is the slow interpreter, and pallas_call
+        does not partition under a >1-device mesh). "fused" (pallas_sort's
+        whole-merge kernel) gates identically to "auto" — a flipped default
+        must never drag CPU runs through the interpreter."""
+        if flag in ("auto", "fused"):
             return jax.default_backend() == "tpu" and (
                 self.mesh is None or self.mesh.size == 1
             )
@@ -348,9 +354,11 @@ class DetectorSimulator:
         pallas_on = self._pallas_enabled
         use_pallas = pallas_on(eng.pallas_transport)
         use_pallas_lookup = pallas_on(eng.pallas_lookup)
-        # "fused" = whole-merge kernel (sort_pallas.merge_runs_fused_pallas)
+        # "fused" = whole-merge kernel (sort_pallas.merge_runs_fused_pallas),
+        # auto-gated like "auto" (single-chip TPU only)
         use_pallas_sort = (
-            "fused" if eng.pallas_sort == "fused"
+            "fused"
+            if eng.pallas_sort == "fused" and pallas_on(eng.pallas_sort)
             else pallas_on(eng.pallas_sort)
         )
         if use_pallas and n_steps <= eng.chunk_steps:

@@ -380,3 +380,45 @@ def test_get_response_independent_formula():
     amp, integral = apply_response(got, q)
     assert amp == 4095.0
     assert integral == pytest.approx(np.minimum(got * q, 4095.0).sum())
+
+
+def test_fused_default_gates_off_cpu(monkeypatch):
+    """EngineParams(pallas_sort="fused") must behave exactly like the lax
+    default away from a single-chip TPU: the auto-flip of the round-4
+    defaults must never drag CPU runs (or >1-device meshes) through the
+    Pallas interpreter. Proven by making every sort kernel raise."""
+    import dataclasses
+
+    from attpc_engine_tpu.detector import sort_pallas
+
+    def _boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("Pallas sort kernel invoked on CPU backend")
+
+    for name in ("sort_pairs_pallas", "sort_i64_pallas",
+                 "merge_runs_fused_pallas"):
+        monkeypatch.setattr(sort_pallas, name, _boom)
+
+    config = Config(detector, electronics, pads)
+    zp, ap = np.array([1, 1, 1, 1]), np.array([1, 1, 1, 1])
+    p = np.sqrt(5.0 * (5.0 + 2.0 * 938.272))
+    momenta = np.zeros((2, 4, 4))
+    momenta[:, :, 3] = 938.272
+    momenta[:, 2, 0] = p / np.sqrt(2)
+    momenta[:, 2, 2] = p / np.sqrt(2)
+    momenta[:, 2, 3] = 938.272 + 5.0
+    vertices = np.tile(np.array([0.0, 0.0, 0.5]), (2, 1))
+
+    base = DetectorSimulator(config, zp, ap, indices=[2],
+                             engine=fast_engine)
+    out_base = base.simulate_batch(jax.random.PRNGKey(3), vertices, momenta)
+
+    fused = DetectorSimulator(
+        config, zp, ap, indices=[2],
+        engine=dataclasses.replace(fast_engine, pallas_sort="fused"),
+    )
+    assert fused._pallas_enabled("fused") is False
+    out_f = fused.simulate_batch(jax.random.PRNGKey(3), vertices, momenta)
+    for name in ("charges", "pads", "tbs_i", "labels"):
+        np.testing.assert_array_equal(
+            np.asarray(out_base[name]), np.asarray(out_f[name]), err_msg=name
+        )
