@@ -280,6 +280,7 @@ class DetectorSimulator:
         )
         self._resp_max = float(resp.max())
 
+        self._shard_local = False
         self._sim_jit = jax.jit(
             self._simulate_impl,
             static_argnames=(
@@ -290,6 +291,10 @@ class DetectorSimulator:
                 "n_steps",
             ),
         )
+        # the shard_map program is built lazily per mesh (the mesh may be
+        # assigned after construction)
+        self._sim_sharded_jit = None
+        self._sim_sharded_mesh = None
 
     # ------------------------------------------------------------------ #
 
@@ -298,42 +303,34 @@ class DetectorSimulator:
         chip TPU: the CPU fallback is the slow interpreter, and pallas_call
         does not partition under a >1-device mesh). "fused" (pallas_sort's
         whole-merge kernel) gates identically to "auto" — a flipped default
-        must never drag CPU runs through the interpreter."""
+        must never drag CPU runs through the interpreter. Inside the
+        shard_map path each shard IS a single device, so the multi-device
+        gate lifts (``_shard_local``)."""
         if flag in ("auto", "fused"):
             return jax.default_backend() == "tpu" and (
-                self.mesh is None or self.mesh.size == 1
+                self.mesh is None
+                or self.mesh.size == 1
+                or self._shard_local
             )
         return bool(flag)
 
-    def _simulate_impl(
+    def _core_impl(
         self,
         key,
         vg,
         n_events: int,
-        point_budget: int | None = None,
-        uniq_budget: int | None = None,
-        out_budget: int | None = None,
-        n_steps: int | None = None,
-        event_start=0,
+        point_budget: int,
+        uniq_budget: int,
+        n_steps: int,
+        event_start,
     ):
-        """vg [E, 3 + K*3] f32 (vertex cols 0-2, then gamma*beta per
-        track) -> cloud + spyral arrays. The batch rides ONE combined
-        host->device array: each put is a separate message on the FIFO
-        tunnel, so two puts per batch cost two queue slots behind the
-        in-flight D2H stream.
-
-        Pool budgets and the effective step window are static jit arguments
-        (None = the engine defaults) so the driver can retune them between
-        batches. ``event_start`` (traced scalar) is the batch's first
-        GLOBAL event index: all device draws key off fold_in(key,
-        event_start + i), so a batch's outputs depend only on its events'
-        global ids — not on events_per_batch or the batch boundary
-        (grid-independent resume)."""
+        """Transport + electron generation + deposit/merge for a batch of
+        ``n_events`` events: the Pallas-bearing section of the step.
+        Returns (cloud dict, steps_alive). Per-event RNG keys off
+        ``event_start + i`` (global event ids), so the result depends only
+        on which events are in the batch — the shard_map path relies on
+        this to be bit-identical to the single-device program."""
         cfg, eng = self.config, self.engine
-        point_budget = point_budget or eng.point_budget
-        uniq_budget = uniq_budget or eng.uniq_budget
-        out_budget = out_budget or eng.out_budget
-        n_steps = n_steps or eng.n_time_steps
         dev = cfg.device_arrays()
         e = n_events
         k = self.k_tracks
@@ -439,6 +436,13 @@ class DetectorSimulator:
             plane_hi=dev["plane_hi"],
             plane_lo=dev["plane_lo"],
         )
+        return cloud, steps_alive
+
+    def _finish_impl(self, cloud, steps_alive, out_budget: int, e: int):
+        """Spyral conversion + per-batch metadata pack — the globally
+        coupled tail of the step (the output pool packs all events'
+        kept rows contiguously, so it runs OUTSIDE any shard_map and XLA
+        partitions it under a mesh)."""
         window = cloud["pads"].shape[0] // e
         packed, counts, out_overflow = self._convert_to_spyral(
             cloud, out_budget, e, window
@@ -467,6 +471,115 @@ class DetectorSimulator:
             ]
         )
         return cloud
+
+    def _simulate_impl(
+        self,
+        key,
+        vg,
+        n_events: int,
+        point_budget: int | None = None,
+        uniq_budget: int | None = None,
+        out_budget: int | None = None,
+        n_steps: int | None = None,
+        event_start=0,
+    ):
+        """vg [E, 3 + K*3] f32 (vertex cols 0-2, then gamma*beta per
+        track) -> cloud + spyral arrays. The batch rides ONE combined
+        host->device array: each put is a separate message on the FIFO
+        tunnel, so two puts per batch cost two queue slots behind the
+        in-flight D2H stream.
+
+        Pool budgets and the effective step window are static jit arguments
+        (None = the engine defaults) so the driver can retune them between
+        batches. ``event_start`` (traced scalar) is the batch's first
+        GLOBAL event index: all device draws key off fold_in(key,
+        event_start + i), so a batch's outputs depend only on its events'
+        global ids — not on events_per_batch or the batch boundary
+        (grid-independent resume)."""
+        eng = self.engine
+        point_budget = point_budget or eng.point_budget
+        uniq_budget = uniq_budget or eng.uniq_budget
+        out_budget = out_budget or eng.out_budget
+        n_steps = n_steps or eng.n_time_steps
+        cloud, steps_alive = self._core_impl(
+            key, vg, n_events, point_budget, uniq_budget, n_steps,
+            event_start,
+        )
+        return self._finish_impl(cloud, steps_alive, out_budget, n_events)
+
+    def _simulate_sharded_impl(
+        self,
+        key,
+        vg,
+        n_events: int,
+        point_budget: int | None = None,
+        uniq_budget: int | None = None,
+        out_budget: int | None = None,
+        n_steps: int | None = None,
+        event_start=0,
+    ):
+        """The multi-device program: shard_map the Pallas-bearing core over
+        the event mesh (each shard is a single device, so the Pallas
+        kernels stay enabled per-shard — pallas_call itself cannot
+        partition), then run the globally coupled Spyral conversion on the
+        event-sharded cloud (XLA partitions the per-event work and inserts
+        the output-pool collectives).
+
+        Bit-identical to the single-device program: every device draw keys
+        off the event's GLOBAL id (fold_in(key, event_start + i)), events
+        are independent, and the per-shard early-exit of the chunked
+        transport only skips chunks whose tracks are all dead (masked
+        lanes deposit nothing either way)."""
+        eng = self.engine
+        point_budget = point_budget or eng.point_budget
+        uniq_budget = uniq_budget or eng.uniq_budget
+        out_budget = out_budget or eng.out_budget
+        n_steps = n_steps or eng.n_time_steps
+        mesh = self.mesh
+        n_dev = mesh.size
+        e_loc = n_events // n_dev
+        P = jax.sharding.PartitionSpec
+
+        def local(key, vg_loc, event_start):
+            off = jax.lax.axis_index("events").astype(jnp.int32) * e_loc
+            prev = self._shard_local
+            self._shard_local = True
+            try:
+                cloud, steps_alive = self._core_impl(
+                    key, vg_loc, e_loc, point_budget, uniq_budget, n_steps,
+                    event_start + off,
+                )
+            finally:
+                self._shard_local = prev
+            # globalize the event ids (invalid lanes keep the global
+            # sentinel E, matching the unsharded program)
+            cloud["events"] = jnp.where(
+                cloud["cloud_valid"], cloud["events"] + off,
+                jnp.int32(n_events),
+            )
+            # lift per-shard scalars to [1] so every output leaf
+            # concatenates over the mesh axis
+            for name in ("pool_overflow", "uniq_overflow", "uniq_max"):
+                cloud[name] = cloud[name][None]
+            return cloud, steps_alive[None]
+
+        cloud, steps_alive_v = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P("events"), P()),
+            out_specs=P("events"),
+            # the core is collective-free; the varying-axes checker trips
+            # on while_loop carries seeded from replicated zeros
+            check_vma=False,
+        )(key, vg, event_start)
+        # combine the per-shard diagnostics exactly as the single-device
+        # program would: overflow counters are sums over events; uniq_max
+        # and steps_alive (prefix length over tracks) are maxima
+        cloud["pool_overflow"] = cloud["pool_overflow"].sum()
+        cloud["uniq_overflow"] = cloud["uniq_overflow"].sum()
+        cloud["uniq_max"] = cloud["uniq_max"].max()
+        steps_alive = steps_alive_v.max()
+        return self._finish_impl(cloud, steps_alive, out_budget, n_events)
 
     def assemble_spyral(
         self,
@@ -760,11 +873,29 @@ class DetectorSimulator:
             axis=1,
         )
         vg_dev = jnp.asarray(vg)
-        if self.mesh is not None and e % self.mesh.size == 0:
+        sim_fn = self._sim_jit
+        if (
+            self.mesh is not None
+            and self.mesh.size > 1
+            and e % self.mesh.size == 0
+        ):
             from ..parallel.mesh import shard_events
 
             vg_dev = shard_events(self.mesh, vg_dev)
-        out = self._sim_jit(
+            if self._sim_sharded_mesh is not self.mesh:
+                self._sim_sharded_jit = jax.jit(
+                    self._simulate_sharded_impl,
+                    static_argnames=(
+                        "n_events",
+                        "point_budget",
+                        "uniq_budget",
+                        "out_budget",
+                        "n_steps",
+                    ),
+                )
+                self._sim_sharded_mesh = self.mesh
+            sim_fn = self._sim_sharded_jit
+        out = sim_fn(
             key,
             vg_dev,
             e,
