@@ -48,6 +48,20 @@ def main() -> None:
     det_batch = int(os.environ.get("BENCH_BATCH", 384))
     outdir = os.environ.get("BENCH_OUTDIR")
 
+    if (
+        os.environ.get("BENCH_PLATFORM", "tpu") != "cpu"
+        and os.environ.get("BENCH_IDLE_WAIT", "1") != "0"
+    ):
+        # never overlap a watcher TPU job (tools/tunnel_runbook.sh /
+        # r4_post_runbook.sh): two TPU processes overlapping hangs device
+        # init (CLAUDE.md). No-op when the watchers are idle or when this
+        # bench IS a watcher job.
+        from attpc_engine_tpu.utils.idle import wait_for_tpu_idle
+
+        wait_for_tpu_idle(
+            max_wait_s=float(os.environ.get("BENCH_IDLE_WAIT_S", 7200))
+        )
+
     import jax
 
     if os.environ.get("BENCH_PLATFORM"):
