@@ -81,7 +81,11 @@ def watcher_ancestor() -> bool:
                 return False
             with open(f"/proc/{ppid}/cmdline", "rb") as f:
                 cmd = f.read().replace(b"\0", b" ").decode(errors="replace")
-            if "tunnel_runbook.sh" in cmd or "r4_post_runbook.sh" in cmd:
+            if (
+                "tunnel_runbook.sh" in cmd
+                or "r4_post_runbook.sh" in cmd
+                or "tunnel_chain_v2.sh" in cmd
+            ):
                 return True
             pid = ppid
     except OSError:
