@@ -80,12 +80,15 @@ def watcher_ancestor() -> bool:
             if ppid <= 1:
                 return False
             with open(f"/proc/{ppid}/cmdline", "rb") as f:
-                cmd = f.read().replace(b"\0", b" ").decode(errors="replace")
-            if (
-                "tunnel_runbook.sh" in cmd
-                or "r4_post_runbook.sh" in cmd
-                or "tunnel_chain_v2.sh" in cmd
-            ):
+                argv = f.read().decode(errors="replace").split("\0")
+            # whole-argv basename match only: a shell whose -c STRING merely
+            # mentions a watcher script (e.g. an interactive command that
+            # syntax-checks it) must not count as running one
+            names = {
+                "tunnel_runbook.sh", "r4_post_runbook.sh",
+                "tunnel_chain_v2.sh",
+            }
+            if any(os.path.basename(a) in names for a in argv if a):
                 return True
             pid = ppid
     except OSError:
