@@ -1009,6 +1009,7 @@ def run_simulation(
     stop_event: int | None = None,
     auto_tune: bool = True,
     use_mesh: bool = True,
+    devices: list | None = None,
 ):
     """Run the detector simulation over a kinematics file.
 
@@ -1017,7 +1018,11 @@ def run_simulation(
     program executions, and hands Spyral-formatted batches to the writer.
     When more than one device is visible (and events_per_batch divides
     evenly), each batch is event-sharded across the device mesh and the
-    host gather feeding the writer collects from all shards.
+    host gather feeding the writer collects from all shards. ``devices``
+    restricts the mesh to a subset — the multi-host driver
+    (parallel/multihost.py) passes ``jax.local_devices()`` so each
+    process runs its own event range on its own chips without forming a
+    global program.
 
     Resume/checkpointing: ALL random streams are keyed per event from the
     event's global index — device draws via fold_in(seed, event_id) with
@@ -1044,11 +1049,12 @@ def run_simulation(
     engine = engine or EngineParams()
     reader = KinematicsReader(input_path)
     mesh = None
-    eb_div = engine.events_per_batch % len(jax.devices()) == 0
-    if use_mesh and len(jax.devices()) > 1 and eb_div:
+    mesh_devices = devices if devices is not None else jax.devices()
+    eb_div = engine.events_per_batch % len(mesh_devices) == 0
+    if use_mesh and len(mesh_devices) > 1 and eb_div:
         from ..parallel.mesh import event_mesh
 
-        mesh = event_mesh()
+        mesh = event_mesh(mesh_devices)
     sim = DetectorSimulator(
         config,
         reader.proton_numbers,
@@ -1064,8 +1070,11 @@ def run_simulation(
     # event ids (event_keys), so no host-side per-batch key derivation —
     # and no accelerator round trip — is needed at all
     try:
+        # local_devices, not devices: under jax.distributed a later
+        # process's jax.devices("cpu")[0] is process 0's device, which
+        # this process cannot device_put to
         base_key = jax.device_put(
-            jax.random.PRNGKey(seed), jax.devices("cpu")[0]
+            jax.random.PRNGKey(seed), jax.local_devices(backend="cpu")[0]
         )
     except RuntimeError:
         base_key = jax.random.PRNGKey(seed)

@@ -1,0 +1,127 @@
+"""Multi-host production driver: one detector run spread over a TPU pod.
+
+The reference engine is single-process and serial (no analog:
+/root/reference/src has no multiprocessing/MPI — SURVEY.md section 2.3).
+This workload is embarrassingly parallel over events and every random
+stream is keyed by the GLOBAL event id (``run_simulation`` resume
+semantics), so the multi-host decomposition needs no collectives at all:
+
+- each process owns one contiguous slice of the kinematics file's events,
+- simulates it over its OWN local chips (``run_simulation`` with
+  ``devices=jax.local_devices()`` — a per-process program, not a global
+  SPMD program, so a straggling host never stalls the others),
+- and writes its own run files through its own writer fleet, with
+  disjoint run numbers (``first_run_number = process_id * stride``).
+
+The union of all processes' run files is bit-identical, event for event,
+to a single-process run with the same seed (grid-independent RNG;
+tests/test_multihost.py::test_multihost_production_driver), which is also
+what makes the split restartable per process.
+
+Derived per-chip need for the 16,667 ev/s north star on a v5e-8:
+~2,084 ev/s device-side (docs/roofline.md) + 2-4 writer shards/host.
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+
+import jax
+
+__all__ = ["run_simulation_multihost"]
+
+
+def run_simulation_multihost(
+    config,
+    input_path: Path | str,
+    output_dir: Path | str,
+    *,
+    seed: int,
+    indices: list[int] | None = None,
+    engine=None,
+    writer_shards: int = 1,
+    max_events_per_file: int = 5_000,
+    run_number_stride: int = 10_000,
+    compression: str | None = None,
+    show_progress: bool = False,
+    process_id: int | None = None,
+    num_processes: int | None = None,
+) -> tuple[int, int]:
+    """Run this process's slice of a detector simulation.
+
+    Call from every process of a ``jax.distributed``-initialized job (or
+    pass ``process_id``/``num_processes`` explicitly to shard across
+    independent processes without a coordinator — e.g. separate
+    single-host TPU VMs over a shared filesystem). Every process must
+    pass the SAME ``seed``: all random streams key off
+    ``fold_in(seed, global_event_id)``, so the union of the processes'
+    outputs is bit-identical to a single-process run.
+
+    Parameters mirror ``run_simulation`` plus:
+
+    writer_shards: per-process striped writer children
+        (``SpyralWriterProc(n_shards=...)``) — a multi-chip host needs
+        several to keep up with device output (BASELINE.md).
+    run_number_stride: run-number block per process. Process ``p`` writes
+        run files ``p * stride, p * stride + 1, ...``; a guard raises if
+        its event slice could need more files than the block holds.
+    process_id / num_processes: default to ``jax.process_index()`` /
+        ``jax.process_count()``.
+
+    Returns ``(start_event, stop_event)`` — this process's slice (empty
+    slices return without touching the filesystem).
+    """
+    from ..detector.simulator import run_simulation
+    from ..detector.writer import SpyralWriterProc
+    from ..io.kinematics_file import KinematicsReader
+
+    pid = jax.process_index() if process_id is None else process_id
+    nproc = jax.process_count() if num_processes is None else num_processes
+    if not 0 <= pid < nproc:
+        raise ValueError(f"process_id {pid} outside [0, {nproc})")
+
+    reader = KinematicsReader(input_path)
+    try:
+        n_events = reader.n_events
+    finally:
+        reader.close()
+
+    per_proc = math.ceil(n_events / nproc)
+    start = pid * per_proc
+    stop = min(n_events, start + per_proc)
+    if start >= stop:
+        return (start, start)
+
+    # files hold up to max_events_per_file events each, regardless of
+    # striping (striped children share one global run counter: child i
+    # owns runs first+i, first+i+n_shards, ...)
+    max_files = math.ceil((stop - start) / max_events_per_file)
+    if max_files > run_number_stride:
+        raise ValueError(
+            f"process {pid} may write {max_files} run files but its "
+            f"run-number block holds {run_number_stride}; raise "
+            "run_number_stride or max_events_per_file"
+        )
+
+    writer = SpyralWriterProc(
+        output_dir,
+        config,
+        max_events_per_file=max_events_per_file,
+        first_run_number=pid * run_number_stride,
+        compression=compression,
+        n_shards=writer_shards,
+    )
+    run_simulation(
+        config,
+        input_path,
+        writer,
+        indices=indices,
+        engine=engine,
+        seed=seed,
+        show_progress=show_progress,
+        start_event=start,
+        stop_event=stop,
+        devices=jax.local_devices(),
+    )
+    return (start, stop)
