@@ -67,13 +67,6 @@ def write_run_manifest(
 
     target = Path(target)
     try:
-        if target.is_dir():
-            n = 0
-            while (target / f"run_manifest_{n}.json").exists():
-                n += 1
-            path = target / f"run_manifest_{n}.json"
-        else:
-            path = target.with_suffix(target.suffix + ".run.json")
         devices = jax.devices()
         record = {
             "engine": "attpc_engine_tpu",
@@ -94,8 +87,23 @@ def write_run_manifest(
         }
         if extra:
             record.update(_jsonable(extra))
-        with open(path, "w") as f:
-            json.dump(record, f, indent=2)
-        return path
+        if target.is_dir():
+            # exclusive create: several processes (multi-host driver) may
+            # finish into the same directory at once — check-then-write
+            # would let one overwrite another's record
+            n = 0
+            while True:
+                path = target / f"run_manifest_{n}.json"
+                try:
+                    with open(path, "x") as f:
+                        json.dump(record, f, indent=2)
+                    return path
+                except FileExistsError:
+                    n += 1
+        else:
+            path = target.with_suffix(target.suffix + ".run.json")
+            with open(path, "w") as f:
+                json.dump(record, f, indent=2)
+            return path
     except OSError:
         return None
