@@ -253,3 +253,86 @@ def test_multihost_production_driver(tmp_path):
         np.testing.assert_allclose(
             pod[k], ref[k], rtol=2e-5, atol=2e-3, err_msg=f"dataset {k}"
         )
+
+
+def test_multihost_explicit_ids_without_coordinator(tmp_path):
+    """``run_simulation_multihost`` with explicit process_id/num_processes
+    shards across independent processes with no jax.distributed coordinator
+    (e.g. separate single-host TPU VMs over a shared filesystem). Running
+    all three slices sequentially in this one process reproduces the
+    single-process run bit-exactly (same device layout, grid-independent
+    RNG)."""
+    import numpy as np
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from __graft_entry__ import _tiny_setup
+    from attpc_engine_tpu.detector import EngineParams, SpyralWriter
+    from attpc_engine_tpu.detector.simulator import run_simulation
+    from attpc_engine_tpu.kinematics import run_kinematics_pipeline
+    from attpc_engine_tpu.parallel import run_simulation_multihost
+
+    pipeline, sim = _tiny_setup(events_per_batch=4, n_time_steps=500)
+    kine = tmp_path / "kine.h5"
+    run_kinematics_pipeline(pipeline, 8, kine, seed=31, show_progress=False)
+    engine = EngineParams(
+        n_time_steps=500, chunk_steps=250, point_budget=512,
+        out_budget=8192, events_per_batch=4,
+    )
+
+    outdir = tmp_path / "fleet"
+    outdir.mkdir()
+    slices = [
+        run_simulation_multihost(
+            sim.config, kine, outdir, seed=31, engine=engine,
+            process_id=pid, num_processes=3,
+            max_events_per_file=3, run_number_stride=10,
+        )
+        for pid in range(3)
+    ]
+    assert slices == [(0, 3), (3, 6), (6, 8)]
+
+    refdir = tmp_path / "ref"
+    refdir.mkdir()
+    run_simulation(
+        sim.config, kine, SpyralWriter(refdir, sim.config),
+        engine=engine, seed=31, show_progress=False, use_mesh=False,
+    )
+    fleet = _collect_clouds(outdir)
+    ref = _collect_clouds(refdir)
+    assert fleet.keys() == ref.keys()
+    for k in sorted(ref):
+        # same flat device layout on both sides -> bit-exact
+        np.testing.assert_array_equal(fleet[k], ref[k], err_msg=f"dataset {k}")
+
+
+def test_multihost_guards(tmp_path):
+    """Run-number-block guard and empty-slice handling."""
+    import pytest
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from __graft_entry__ import _tiny_setup
+    from attpc_engine_tpu.kinematics import run_kinematics_pipeline
+    from attpc_engine_tpu.parallel import run_simulation_multihost
+
+    pipeline, sim = _tiny_setup(events_per_batch=4, n_time_steps=500)
+    kine = tmp_path / "kine.h5"
+    run_kinematics_pipeline(pipeline, 8, kine, seed=31, show_progress=False)
+
+    # 8 events / 1 file each needs 8 run numbers but the block holds 2
+    with pytest.raises(ValueError, match="run-number block"):
+        run_simulation_multihost(
+            sim.config, kine, tmp_path, seed=1, process_id=0,
+            num_processes=1, max_events_per_file=1, run_number_stride=2,
+        )
+    # 5 processes over 8 events: ceil -> 2/proc, process 4 owns nothing
+    # and must not touch the filesystem
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert run_simulation_multihost(
+        sim.config, kine, empty, seed=1, process_id=4, num_processes=5,
+    ) == (8, 8)
+    assert list(empty.iterdir()) == []
+    with pytest.raises(ValueError, match="outside"):
+        run_simulation_multihost(
+            sim.config, kine, empty, seed=1, process_id=2, num_processes=2,
+        )
