@@ -32,6 +32,49 @@ import jax
 __all__ = ["run_simulation_multihost"]
 
 
+def _scan_resume_block(
+    output_dir: Path, first_run: int, stride: int
+) -> tuple[int | None, int, list[Path]]:
+    """Walk this process's run-number block for a crash-resume point.
+
+    Returns ``(resume_event, n_closed, stale)``: the global event id to
+    restart from (``None`` when no durable file exists), how many
+    consecutive properly-closed run files lead up to it, and the paths of
+    any files after them (unreadable / never-closed partials from the
+    crash, or files orphaned beyond a partial) that must be deleted before
+    rewriting.
+
+    A file is durable iff it carries the ``max_event`` attr — the writers
+    only write attrs in ``close()``, and ``run_simulation`` closes its
+    writer even when unwinding on an exception; a file from a hard-killed
+    process has no attrs (usually it is not even readable HDF5).
+    Under-full closed files are still durable (an interrupted run's final
+    file, like the reference's own last file, legitimately holds fewer
+    than ``max_events_per_file`` events), so the walk continues past them.
+    """
+    import h5py
+
+    n = 0
+    resume_event: int | None = None
+    while n < stride:
+        path = output_dir / f"run_{first_run + n:04d}.h5"
+        if not path.exists():
+            break
+        try:
+            with h5py.File(path, "r") as f:
+                last = int(f["cloud"].attrs["max_event"])
+        except (OSError, KeyError):
+            break  # crash partial: not closed (or not even HDF5)
+        resume_event = last + 1
+        n += 1
+    stale = [
+        p
+        for i in range(n, stride)
+        if (p := output_dir / f"run_{first_run + i:04d}.h5").exists()
+    ]
+    return resume_event, n, stale
+
+
 def run_simulation_multihost(
     config,
     input_path: Path | str,
@@ -47,6 +90,7 @@ def run_simulation_multihost(
     show_progress: bool = False,
     process_id: int | None = None,
     num_processes: int | None = None,
+    resume: bool = False,
 ) -> tuple[int, int]:
     """Run this process's slice of a detector simulation.
 
@@ -68,9 +112,19 @@ def run_simulation_multihost(
         its event slice could need more files than the block holds.
     process_id / num_processes: default to ``jax.process_index()`` /
         ``jax.process_count()``.
+    resume: continue an interrupted run of the SAME configuration (seed,
+        slicing, file/stride parameters). The process's run-number block
+        is scanned for durable (properly closed) run files; simulation
+        restarts at the last durable file's ``max_event + 1`` with the
+        next run number, after deleting any crash partials beyond it.
+        Grid-independent RNG makes the result bit-identical to an
+        uninterrupted run. Trailing skipped events (an interruption
+        after the last event that produced clouds) re-simulate into an
+        empty final file — harmless, but callers that care can compare
+        the returned range.
 
-    Returns ``(start_event, stop_event)`` — this process's slice (empty
-    slices return without touching the filesystem).
+    Returns ``(resume_start, stop_event)`` — the events this call
+    actually simulated (empty: ``(stop, stop)``, filesystem untouched).
     """
     from ..detector.simulator import run_simulation
     from ..detector.writer import SpyralWriterProc
@@ -93,14 +147,28 @@ def run_simulation_multihost(
     if start >= stop:
         return (start, start)
 
+    first_run = pid * run_number_stride
+    if resume:
+        resume_event, n_closed, stale = _scan_resume_block(
+            Path(output_dir), first_run, run_number_stride
+        )
+        if resume_event is not None:
+            start = max(start, resume_event)
+        if start >= stop:
+            return (stop, stop)  # slice already complete
+        for p in stale:
+            p.unlink()
+        first_run += n_closed
+
     # files hold up to max_events_per_file events each, regardless of
     # striping (striped children share one global run counter: child i
     # owns runs first+i, first+i+n_shards, ...)
     max_files = math.ceil((stop - start) / max_events_per_file)
-    if max_files > run_number_stride:
+    runs_left = run_number_stride - (first_run - pid * run_number_stride)
+    if max_files > runs_left:
         raise ValueError(
             f"process {pid} may write {max_files} run files but its "
-            f"run-number block holds {run_number_stride}; raise "
+            f"run-number block has {runs_left} left; raise "
             "run_number_stride or max_events_per_file"
         )
 
@@ -108,7 +176,7 @@ def run_simulation_multihost(
         output_dir,
         config,
         max_events_per_file=max_events_per_file,
-        first_run_number=pid * run_number_stride,
+        first_run_number=first_run,
         compression=compression,
         n_shards=writer_shards,
     )

@@ -305,6 +305,72 @@ def test_multihost_explicit_ids_without_coordinator(tmp_path):
         np.testing.assert_array_equal(fleet[k], ref[k], err_msg=f"dataset {k}")
 
 
+def test_multihost_resume_after_interruption(tmp_path):
+    """``resume=True`` restarts an interrupted slice at the last durable
+    run file's ``max_event + 1``, deletes the crash partial, and the
+    resulting directory matches an uninterrupted single run bit-exactly."""
+    import numpy as np
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from __graft_entry__ import _tiny_setup
+    from attpc_engine_tpu.detector import EngineParams, SpyralWriter, SpyralWriterProc
+    from attpc_engine_tpu.detector.simulator import run_simulation
+    from attpc_engine_tpu.kinematics import run_kinematics_pipeline
+    from attpc_engine_tpu.parallel import run_simulation_multihost
+
+    pipeline, sim = _tiny_setup(events_per_batch=4, n_time_steps=500)
+    kine = tmp_path / "kine.h5"
+    run_kinematics_pipeline(pipeline, 8, kine, seed=31, show_progress=False)
+    engine = EngineParams(
+        n_time_steps=500, chunk_steps=250, point_budget=512,
+        out_budget=8192, events_per_batch=4,
+    )
+
+    # fabricate the interruption: events [0, 5) through the block's writer
+    # params leave run_0000 (0-2, full) + run_0001 (3-4, closed under-full
+    # — run_simulation closes the writer even when unwinding), plus a
+    # never-closed crash partial at the next run number
+    outdir = tmp_path / "interrupted"
+    outdir.mkdir()
+    w = SpyralWriterProc(
+        outdir, sim.config, max_events_per_file=3, first_run_number=0
+    )
+    run_simulation(
+        sim.config, kine, w, engine=engine, seed=31, show_progress=False,
+        stop_event=5, use_mesh=False,
+    )
+    partial = outdir / "run_0002.h5"
+    partial.write_bytes(b"definitely not hdf5")
+
+    got = run_simulation_multihost(
+        sim.config, kine, outdir, seed=31, engine=engine,
+        process_id=0, num_processes=1,
+        max_events_per_file=3, run_number_stride=10, resume=True,
+    )
+    assert got == (5, 8)
+
+    refdir = tmp_path / "ref"
+    refdir.mkdir()
+    run_simulation(
+        sim.config, kine, SpyralWriter(refdir, sim.config),
+        engine=engine, seed=31, show_progress=False, use_mesh=False,
+    )
+    resumed = _collect_clouds(outdir)
+    ref = _collect_clouds(refdir)
+    assert resumed.keys() == ref.keys()
+    for k in sorted(ref):
+        np.testing.assert_array_equal(resumed[k], ref[k], err_msg=k)
+
+    # idempotent: a second resume sees the slice complete and is a no-op
+    before = sorted(p.name for p in outdir.iterdir())
+    assert run_simulation_multihost(
+        sim.config, kine, outdir, seed=31, engine=engine,
+        process_id=0, num_processes=1,
+        max_events_per_file=3, run_number_stride=10, resume=True,
+    ) == (8, 8)
+    assert sorted(p.name for p in outdir.iterdir()) == before
+
+
 def test_multihost_guards(tmp_path):
     """Run-number-block guard and empty-slice handling."""
     import pytest
