@@ -48,3 +48,36 @@ def test_bench_cpu_smoke(tmp_path):
     # the run produced real output files through the full writer path
     clouds = tmp_path / "out" / "clouds"
     assert any(clouds.glob("run_*.h5"))
+
+
+def test_bench_tpu_unreachable_falls_back_to_cpu(tmp_path):
+    """No BENCH_PLATFORM + dead tunnel port -> labeled CPU fallback, rc=0.
+
+    Guards the round-end failure mode of r3: the relay died and the
+    driver's bench exited rc=1, closing the round with no number at all.
+    """
+    env = dict(os.environ)
+    env.pop("BENCH_PLATFORM", None)
+    env.update(
+        ATTPC_TUNNEL_PORT="1",  # nothing listens on port 1
+        BENCH_IDLE_WAIT="0",  # CPU-bound: never block on watcher TPU jobs
+        BENCH_EVENTS="32",
+        BENCH_BATCH="16",
+        BENCH_OUTDIR=str(tmp_path / "out"),
+        BENCH_CACHE_DIR=str(tmp_path / "cache"),
+    )
+    (tmp_path / "out").mkdir()
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=900,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = proc.stdout.strip().splitlines()[-1]
+    result = json.loads(line)
+    assert result["metric"] == "full_pipeline_events_per_sec_cpu_fallback"
+    assert result["value"] > 0
+    assert "unreachable" in proc.stderr
