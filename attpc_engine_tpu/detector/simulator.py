@@ -1034,8 +1034,13 @@ def run_simulation(
     events it would have produced, bit-identically, for ANY
     ``events_per_batch`` — the resume point need not sit on the original
     run's batch grid (tests/test_end_to_end.py::
-    test_resume_reproduces_one_shot). The reference only offers
-    whole-run restartability (SURVEY.md section 5).
+    test_resume_reproduces_one_shot). Bit-identity assumes the same
+    device layout on both runs; resuming a flat single-device run on a
+    >1-chip mesh (or vice versa) recompiles the XLA-partitioned
+    conversion tail with reassociated f32 reductions, so rows then match
+    to float tolerance rather than bit-for-bit
+    (tests/test_parallel.py::test_sharded_matches_single_device). The
+    reference only offers whole-run restartability (SURVEY.md section 5).
     """
     from ..io.kinematics_file import KinematicsReader
     from ..io.spyral_child import tune_malloc
@@ -1067,18 +1072,16 @@ def run_simulation(
         seed = int(np.random.SeedSequence().entropy % (2**31))
     # the base key rides into every batch program as the same tiny numpy
     # array; per-event keys are folded ON DEVICE from the batch's global
-    # event ids (event_keys), so no host-side per-batch key derivation —
-    # and no accelerator round trip — is needed at all
+    # event ids (event_keys), so no host-side per-batch key derivation is
+    # needed. Derive the key itself on the CPU backend (local_devices,
+    # not devices: under jax.distributed a later process's
+    # jax.devices("cpu")[0] belongs to process 0) so constructing it
+    # never launches an accelerator program or a tunnel round trip.
     try:
-        # local_devices, not devices: under jax.distributed a later
-        # process's jax.devices("cpu")[0] is process 0's device, which
-        # this process cannot device_put to
-        base_key = jax.device_put(
-            jax.random.PRNGKey(seed), jax.local_devices(backend="cpu")[0]
-        )
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            key_np = np.asarray(jax.random.PRNGKey(seed))
     except RuntimeError:
-        base_key = jax.random.PRNGKey(seed)
-    key_np = np.asarray(base_key)
+        key_np = np.asarray(jax.random.PRNGKey(seed))
 
     progress = None
     if show_progress:

@@ -342,17 +342,37 @@ class ChildWriter:
         self.group = self.file.create_group("cloud")
         self._gid = self.group.id
 
-    def _recycle_destination(self):
-        """Rename a pruned predecessor onto the destination path so its
-        warm pages are overwritten in place (rename preserves pages).
-        Prefers the largest spare: pages past a short spare's end are
-        fresh allocations that still pay the first-touch tax."""
-        spares = list(self._recycle_dir.glob("*.h5"))
+    def _tmp_path(self) -> str:
+        """Dot-prefixed sidecar the in-memory image is materialized into.
+
+        The final run path must NEVER hold a complete old file with valid
+        (wrong-range) attrs — the multi-host resume scan trusts the
+        max_event attr as the durability marker — so the pwrite targets
+        this temp (invisible to every run_*.h5 / *.h5 glob: pruner,
+        resume scan, spare pool) and the finished image is os.replace'd
+        onto the run path atomically."""
+        d, name = os.path.split(self._path)
+        return os.path.join(d, f".{name}.part")
+
+    def _recycle_destination(self, tmp: str):
+        """Rename a pruned predecessor onto the temp path so its warm
+        pages are overwritten in place (rename preserves pages). Prefers
+        the largest spare: pages past a short spare's end are fresh
+        allocations that still pay the first-touch tax. Stale .part
+        leftovers from a crashed predecessor are spares too — same warm
+        pages, and consuming them keeps the directory clean."""
+        stale = [
+            p for p in glob.glob(
+                os.path.join(os.path.dirname(self._path), ".run_*.h5.part")
+            )
+            if p != tmp
+        ]
+        spares = [str(p) for p in self._recycle_dir.glob("*.h5")] + stale
         if not spares:
             return
         try:
-            spare = max(spares, key=lambda p: p.stat().st_size)
-            os.replace(spare, self._path)
+            spare = max(spares, key=os.path.getsize)
+            os.replace(spare, tmp)
         except OSError:
             pass
 
@@ -372,15 +392,21 @@ class ChildWriter:
 
     def _finalize_inner(self):
         if self._mem:
-            self._recycle_destination()
+            tmp = self._tmp_path()
+            self._recycle_destination(tmp)
             rc = self._native.sio_h5_close_mem(
                 self._fid, self.starting_event, self.last_event,
-                self._path.encode(),
+                tmp.encode(),
             )
             if rc != 0:
                 raise RuntimeError(
                     f"native in-memory HDF5 close failed (rc={rc})"
                 )
+            # atomic publish: the run path transitions empty -> complete
+            # new file in one rename (the durability invariant the resume
+            # scan relies on; a crash before this line leaves only the
+            # invisible .part)
+            os.replace(tmp, self._path)
             return
         if self._native is not None:
             rc = self._native.sio_h5_close(

@@ -13,10 +13,15 @@ semantics), so the multi-host decomposition needs no collectives at all:
 - and writes its own run files through its own writer fleet, with
   disjoint run numbers (``first_run_number = process_id * stride``).
 
-The union of all processes' run files is bit-identical, event for event,
-to a single-process run with the same seed (grid-independent RNG;
+The union of all processes' run files is value-identical, event for
+event, to a single-process run with the same seed (grid-independent RNG;
 tests/test_multihost.py::test_multihost_production_driver), which is also
-what makes the split restartable per process.
+what makes the split restartable per process. "Value-identical" is
+bit-exact when both sides run the same device layout; across DIFFERENT
+layouts (a >1-chip local mesh vs a flat single-device run) the
+XLA-partitioned conversion tail reassociates f32 reductions, so rows
+match to float tolerance and an ADC-threshold-straddling row can flip —
+the test's rtol=2e-5/atol=2e-3 comparison is the honest contract.
 
 Derived per-chip need for the 16,667 ev/s north star on a v5e-8:
 ~2,084 ev/s device-side (docs/roofline.md) + 2-4 writer shards/host.
@@ -47,7 +52,12 @@ def _scan_resume_block(
     A file is durable iff it carries the ``max_event`` attr — the writers
     only write attrs in ``close()``, and ``run_simulation`` closes its
     writer even when unwinding on an exception; a file from a hard-killed
-    process has no attrs (usually it is not even readable HDF5).
+    process has no attrs (usually it is not even readable HDF5). The
+    recycled in-memory path preserves this invariant by materializing the
+    image into an invisible ``.run_XXXX.h5.part`` sidecar and publishing
+    it with one atomic rename (spyral_child._finalize_inner) — the run
+    path never holds a recycled predecessor's complete-but-wrong-range
+    file.
     Under-full closed files are still durable (an interrupted run's final
     file, like the reference's own last file, legitimately holds fewer
     than ``max_events_per_file`` events), so the walk continues past them.

@@ -3,12 +3,15 @@
 Two TPU-backed processes overlapping — even one starting while another
 winds down — can hang device init past a 10-minute timeout (measured;
 CLAUDE.md "NEVER let two TPU processes overlap"). The tunnel-return
-watcher scripts (``tools/tunnel_runbook.sh``, ``tools/r4_post_runbook.sh``)
-already serialize their own jobs through an append-only status file
+watcher chain (``tools/tunnel_chain_v2.sh``)
+already serializes its own jobs through an append-only status file
 (``/tmp/runbook_status``: ``<tag> start <date>`` / ``<tag> rc=N <date>``
 pairs). This module lets *other* entry points — ``bench.py`` and
 ``__graft_entry__.py``, which the round driver runs on its own schedule —
 wait until no watcher job is in flight before touching the device.
+(``tunnel_runbook.sh``/``r4_post_runbook.sh`` were the superseded first
+generation, since deleted; their names stay in the ancestor allowlist so
+an archived status file or a straggler process is still recognized.)
 
 The wait is skipped when the caller is itself a descendant of a watcher
 script (the watchers run ``bench.py`` as their own serialized jobs — the
@@ -99,16 +102,19 @@ def watcher_ancestor() -> bool:
 def wait_for_tpu_idle(
     status_path: str = STATUS_PATH,
     max_wait_s: float = 7200.0,
-    stale_s: float = 4000.0,
+    stale_s: float = 5400.0,
     poll_s: float = 30.0,
 ) -> None:
     """Block until the watcher status file shows no job in flight.
 
     Returns immediately when the status file does not exist, when the
     caller is a watcher descendant, or when the file has not been touched
-    for ``stale_s`` seconds (every watcher job is bounded by a ``timeout``
-    of at most 3600 s and appends its ``rc=`` line right after, so an
-    open tag on a long-stale file means the watcher itself was killed).
+    for ``stale_s`` seconds. ``stale_s`` MUST exceed the longest single
+    watcher job timeout (currently 4800 s, tools/tunnel_chain_v2.sh's
+    ``ab`` job) — the file is only appended at job start/end, so a
+    shorter window would declare a still-running job dead and start an
+    overlapping TPU process. An open tag on a file stale past that bound
+    means the watcher itself was killed.
     Gives up (and proceeds) after ``max_wait_s``.
     """
     if watcher_ancestor():

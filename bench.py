@@ -52,10 +52,10 @@ def main() -> None:
         os.environ.get("BENCH_PLATFORM", "tpu") != "cpu"
         and os.environ.get("BENCH_IDLE_WAIT", "1") != "0"
     ):
-        # never overlap a watcher TPU job (tools/tunnel_runbook.sh /
-        # r4_post_runbook.sh): two TPU processes overlapping hangs device
-        # init (CLAUDE.md). No-op when the watchers are idle or when this
-        # bench IS a watcher job.
+        # never overlap a watcher TPU job (tools/tunnel_chain_v2.sh):
+        # two TPU processes overlapping hangs device init (CLAUDE.md).
+        # No-op when the watchers are idle or when this bench IS a
+        # watcher job.
         from attpc_engine_tpu.utils.idle import wait_for_tpu_idle
 
         wait_for_tpu_idle(

@@ -2,8 +2,9 @@
 
 The guard serializes the driver-run entry points (bench.py,
 __graft_entry__.py) against the tunnel-return watcher jobs
-(tools/tunnel_runbook.sh, tools/r4_post_runbook.sh), whose append-only
-status file uses ``<tag> start <date>`` / ``<tag> rc=N <date>`` pairs.
+(tools/tunnel_chain_v2.sh; the superseded runbook scripts remain in the
+ancestor allowlist), whose append-only status file uses
+``<tag> start <date>`` / ``<tag> rc=N <date>`` pairs.
 """
 
 from __future__ import annotations

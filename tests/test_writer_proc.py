@@ -267,12 +267,17 @@ def test_writer_recycled_mem_path_identical(tmp_path):
     rdir.mkdir()
     for i in range(2):
         (rdir / f"spare_{i}.h5").write_bytes(b"\xab" * (1 << 20))
+    # a stale .part sidecar (crashed predecessor mid-publish) must be
+    # consumed as a spare, never surface as output, and never linger
+    (d_mem / ".run_0099.h5.part").write_bytes(b"\xcd" * (1 << 20))
 
     run_simulation(config, kine, SpyralWriterProc(d_plain, config, 5),
                    engine=engine, seed=6, show_progress=False)
     run_simulation(config, kine, SpyralWriterProc(d_mem, config, 5),
                    engine=engine, seed=6, show_progress=False)
 
+    # atomic publish leaves no sidecars behind (the stale one included)
+    assert not list(d_mem.glob(".run_*.h5.part"))
     files_a = sorted(glob.glob(str(d_plain / "run_*.h5")))
     files_b = sorted(glob.glob(str(d_mem / "run_*.h5")))
     assert [f.split("/")[-1] for f in files_a] == [

@@ -5,7 +5,7 @@ on real TPU), and if a kernel combo beats base by >= 3% it flips the
 corresponding EngineParams defaults to "auto" (single-chip TPU only,
 same semantics as the r3 kernels), reruns the bit-exactness test files
 on CPU, and commits. Reverts the edit if the tests fail. Invoked by
-tools/r4_post_runbook.sh after the A/B; safe to re-run (idempotent
+tools/tunnel_chain_v2.sh after the A/B; safe to re-run (idempotent
 string replaces).
 """
 
@@ -79,11 +79,21 @@ def main():
         return 0
     SIM.write_text(src)
 
-    rc = subprocess.run(
-        [sys.executable, "-m", "pytest",
-         "tests/test_deposit_pallas.py", "tests/test_sort_pallas.py", "-q"],
-        cwd=REPO, timeout=2400,
-    ).returncode
+    # ANY validation failure — nonzero rc, pytest timeout (plausible on
+    # this one-core box under load), or an OSError spawning it — must
+    # revert the flip: the chain runs unattended with no set -e, so a
+    # dirty unvalidated default would silently reach every later job and
+    # the driver's round-end BENCH.
+    try:
+        rc = subprocess.run(
+            [sys.executable, "-m", "pytest",
+             "tests/test_deposit_pallas.py", "tests/test_sort_pallas.py",
+             "-q"],
+            cwd=REPO, timeout=2400,
+        ).returncode
+    except Exception as exc:  # noqa: BLE001 — TimeoutExpired, OSError, ...
+        print(f"identity-test run raised {type(exc).__name__}: {exc}")
+        rc = -1
     if rc != 0:
         subprocess.run(["git", "checkout", "--", str(SIM)], cwd=REPO)
         print("identity tests FAILED; reverted the flip")

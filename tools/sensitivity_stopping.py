@@ -16,7 +16,7 @@ event batch (same seed, same kinematics), and reports the shift in:
 - per-event tb span (track z-extent proxy: drift time window covered),
 - charge-weighted mean tb (profile centroid).
 
-Env: SENS_EVENTS (64), SENS_STEPS (2000), SENS_FACTORS
+Env: SENS_EVENTS (64), SENS_STEPS (4000), SENS_FACTORS
 ("0.9,0.95,1.05,1.1"), SENS_CUT_MEV_PER_U (1.0), SENS_SEED (7).
 Prints one JSON line per factor with relative shifts vs factor 1.0.
 CPU-runnable (tiny shapes); serialize with other TPU scripts if run on
