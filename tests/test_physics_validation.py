@@ -109,3 +109,44 @@ def test_stopping_range_consistency():
     # range where KE crosses 1e-6 differs from full CSDA by the sub-limit
     # tail; expect agreement within a few percent
     assert path_len == pytest.approx(csda, rel=0.05)
+
+
+def test_polar_arbitrary_distribution_matches_serial():
+    """PolarArbitrary.sample_jax reproduces the binned pdf + smearing.
+
+    The batched inverse-CDF sampler must put the right mass in every bin
+    (reference angle.py:122-152 uses rng.choice) and smear uniformly
+    within each bin — checked against the exact bin probabilities and a
+    uniformity moment, plus agreement with the serial .sample path.
+    """
+    from attpc_engine_tpu.kinematics import PolarArbitrary
+
+    width = 0.05
+    angles = np.arange(5) * width + 0.3  # bin LOWER edges
+    probs = np.array([0.05, 0.15, 0.4, 0.3, 0.1])
+    dist = PolarArbitrary(angles, probs, width)
+
+    n = 200_000
+    s = np.asarray(dist.sample_jax(jax.random.PRNGKey(7), (n,)))
+    assert s.min() >= angles[0] and s.max() < angles[-1] + width
+
+    # bin mass: multinomial std of a count is sqrt(n p (1-p)) — allow 5 sigma
+    idx = np.floor((s - angles[0]) / width).astype(int)
+    counts = np.bincount(idx, minlength=5)
+    for b in range(5):
+        sigma = np.sqrt(n * probs[b] * (1 - probs[b]))
+        assert abs(counts[b] - n * probs[b]) < 5 * sigma, (b, counts[b])
+
+    # in-bin smearing is U[0,1): mean offset 0.5 +- 5 sigma per bin
+    frac = (s - angles[idx]) / width
+    for b in range(5):
+        f = frac[idx == b]
+        assert abs(f.mean() - 0.5) < 5 * (1 / np.sqrt(12 * len(f)))
+
+    # serial path agreement (same semantics, different rng)
+    rng = np.random.default_rng(3)
+    serial = np.array([dist.sample(rng) for _ in range(20_000)])
+    sc = np.bincount(
+        np.floor((serial - angles[0]) / width).astype(int), minlength=5
+    )
+    np.testing.assert_allclose(sc / len(serial), counts / n, atol=0.02)
