@@ -256,7 +256,11 @@ def _packed_kernel_2s(
             * f32(128.0)
             + jax.lax.dot_general(a_lo, bmat, dims, preferred_element_type=f32)
         )  # [120, 128] exact pad ids at (row r, y_lane col)
-        base = (rsub // 10) * 10  # local point * 10
+        # np.int32 literals: a bare Python int is weak-i64 under global
+        # x64, and the resulting in-kernel i64->i32 convert sends Mosaic's
+        # _convert_helper into infinite recursion (RecursionError at
+        # lowering — the r4 TPU A/B failure mode for every +2s combo)
+        base = (rsub // np.int32(10)) * np.int32(10)  # local point * 10
         outs = []
         for j in range(10):
             hit = jnp.where(lane == base + np.int32(j), z, f32(0.0))

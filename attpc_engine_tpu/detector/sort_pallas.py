@@ -44,6 +44,8 @@ __all__ = ["sort_pairs_pallas", "sort_i64_pallas", "merge_runs_fused_pallas"]
 
 _LANES = 128
 _PAD = np.int32(2**31 - 1)  # sorts after every real (nonneg) element
+_F0 = np.float32(0.0)  # pinned f32 zero: a bare 0.0 is weak-f64 under x64,
+# and any in-kernel f64->f32 convert is unsupported by Mosaic (r4 TPU A/B)
 # rows padded beyond this no longer fit the ~10 MB usable scoped VMEM
 # (working set ~ 8 copies x P x 4 B): callers fall back to lax.sort
 MAX_INVMEM_TOTAL = 1 << 18
@@ -142,17 +144,17 @@ def _cumsum_flat(c):
     lane = jax.lax.broadcasted_iota(jnp.int32, (s, l), 1)
     d = 1
     while d < l:
-        c = c + jnp.where(lane >= d, jnp.roll(c, d, axis=1), 0.0)
+        c = c + jnp.where(lane >= d, jnp.roll(c, d, axis=1), _F0)
         d *= 2
     # row totals (lane L-1 of the inclusive row prefix), [S, 1]
     rt = jnp.sum(
-        jnp.where(lane == l - 1, c, 0.0), axis=1, keepdims=True
+        jnp.where(lane == l - 1, c, _F0), axis=1, keepdims=True
     )
     sub = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0)
-    x = jnp.where(sub >= 1, jnp.roll(rt, 1, axis=0), 0.0)
+    x = jnp.where(sub >= 1, jnp.roll(rt, 1, axis=0), _F0)
     d = 1
     while d < s:
-        x = x + jnp.where(sub >= d, jnp.roll(x, d, axis=0), 0.0)
+        x = x + jnp.where(sub >= d, jnp.roll(x, d, axis=0), _F0)
         d *= 2
     return c + x
 
@@ -182,11 +184,18 @@ def _merge_kernel(pk_ref, qv_ref, ok_ref, oc_ref, on_ref, *, total: int,
     c = _cumsum_flat(q)
     sent = h == _PAD  # KEY_SENTINEL == INT32_MAX == the wrapper's pad
     real_last = _run_last_flat(h >> np.int32(rank_bits), sent)
+    # axis-at-a-time with keepdims: a scalar-output reduce would take
+    # Mosaic's proxy path, which re-traces jnp.sum WITHOUT our dtype and
+    # mints an int64 accumulator under global x64 ("64-bit types are not
+    # supported" — the r4 TPU A/B failure mode for +fused)
+    nrow = jnp.sum(
+        real_last.astype(jnp.int32), axis=1, dtype=jnp.int32, keepdims=True
+    )
     on_ref[0] = jnp.sum(
-        real_last.astype(jnp.int32), dtype=jnp.int32, keepdims=True
+        nrow, axis=0, dtype=jnp.int32, keepdims=True
     ) * jnp.ones_like(on_ref[0])
     h2 = jnp.where(real_last, h, _PAD)
-    c2 = jnp.where(real_last, c, 0.0)
+    c2 = jnp.where(real_last, c, _F0)
     h2, c2 = _bitonic(h2, c2, total, lane_mode)
     cap_s = ok_ref.shape[1]
     ok_ref[0] = h2[:cap_s]
