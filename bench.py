@@ -21,12 +21,14 @@ pulls, measured 75 vs 174 ev/s for identical runs; the full HDF5 output is
 still produced either way, tmpfs just decouples the engine measurement from
 the disk). For slow-disk production runs see SpyralWriter(compression=).
 
-BENCH_RECYCLE (default 1): run files rotate through a recycle pool
+BENCH_RECYCLE=1 (default 0): rotate run files through a recycle pool
 (<clouds>/.recycle) so the writer child overwrites pages it already owns
 instead of paying this VM's first-touch fault tax on every fresh byte
 (BASELINE.md "page-fault tax", measured 5.2x on the writer child alone);
 like tools/run_1m_soak.sh, only the newest 2 run files are retained.
-BENCH_RECYCLE=0 keeps every run file and writes through the plain path.
+The default is the plain path: the first interleaved on-TPU A/B (r4)
+measured plain 237.8/263.6 vs recycle 137.3/205.9 ev/s — the fault tax
+is epoch-varying and on a cheap epoch the recycle copy is a net loss.
 """
 
 from __future__ import annotations
@@ -189,10 +191,14 @@ def main() -> None:
     # spare pool during the untimed warmup and keep returning completed
     # run files to it (a separate pruner PROCESS — the tunnel client is
     # GIL-sensitive — with a bounded pool so a plain-path fallback that
-    # never consumes spares cannot fill the disk). BENCH_RECYCLE=0 forces
-    # the plain path.
+    # never consumes spares cannot fill the disk). BENCH_RECYCLE=1 opts
+    # in; the default is the plain path: the first interleaved on-TPU A/B
+    # (r4, 2026-08-19: plain 237.8/263.6 vs recycle 137.3/205.9 ev/s,
+    # r3-pinned tree) showed the recycle copy overhead LOSES on a
+    # cheap-fault epoch — the 5.2x writer-child win is epoch-dependent
+    # and production keeps it opt-in via <outdir>/.recycle anyway.
     pruner = None
-    if os.environ.get("BENCH_RECYCLE", "1") != "0":
+    if os.environ.get("BENCH_RECYCLE", "0") != "0":
         from attpc_engine_tpu.io.recycle import seed_spares, spawn_pruner
 
         seed_spares(cloud_dir, n=2)
