@@ -89,7 +89,7 @@ def watcher_ancestor() -> bool:
             # syntax-checks it) must not count as running one
             names = {
                 "tunnel_runbook.sh", "r4_post_runbook.sh",
-                "tunnel_chain_v2.sh",
+                "tunnel_chain_v2.sh", "chain_followup_r4.sh",
             }
             if any(os.path.basename(a) in names for a in argv if a):
                 return True
