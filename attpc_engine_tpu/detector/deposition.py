@@ -201,6 +201,9 @@ def _merge_runs(
     (sort_pallas.merge_runs_fused_pallas): integer outputs stay
     bit-exact; the f32 charge sums match the lax path only to ulps (the
     in-VMEM prefix associates differently than XLA's tree cumsum).
+    ``"transpose"`` / ``"fused_transpose"`` select the transpose-based
+    lane-stage variant of the same kernels (the Mosaic hedge against
+    lane-dim roll relayouts) — identical outputs, different schedule.
 
     packed: [E, W] int32, KEY_SENTINEL for dead lanes (their qv must be 0).
     qv: [E, W] f32 nonnegative charges.
@@ -222,11 +225,16 @@ def _merge_runs(
             # point_budget configs keep the lax path
             pallas_sort = False
 
-    if pallas_sort == "fused":
+    lane_mode = (
+        "transpose"
+        if isinstance(pallas_sort, str) and "transpose" in pallas_sort
+        else "roll"
+    )
+    if isinstance(pallas_sort, str) and pallas_sort.startswith("fused"):
         from .sort_pallas import merge_runs_fused_pallas
 
         key2, c2, n_uniq = merge_runs_fused_pallas(
-            packed, qv, cap, rank_bits
+            packed, qv, cap, rank_bits, lane_mode=lane_mode
         )
         valid2 = key2 != KEY_SENTINEL
         prev = jnp.concatenate([jnp.zeros((e, 1), f32), c2[:, :-1]], axis=1)
@@ -256,7 +264,8 @@ def _merge_runs(
             from .sort_pallas import sort_pairs_pallas
 
             kh, vb = sort_pairs_pallas(
-                key_i32, jax.lax.bitcast_convert_type(val_f32, jnp.int32)
+                key_i32, jax.lax.bitcast_convert_type(val_f32, jnp.int32),
+                lane_mode=lane_mode,
             )
             return kh, jax.lax.bitcast_convert_type(
                 vb.astype(jnp.uint32), f32

@@ -299,14 +299,15 @@ class DetectorSimulator:
     # ------------------------------------------------------------------ #
 
     def _pallas_enabled(self, flag) -> bool:
-        """bool | "auto" | "fused" -> effective enablement (auto = single-
-        chip TPU: the CPU fallback is the slow interpreter, and pallas_call
-        does not partition under a >1-device mesh). "fused" (pallas_sort's
-        whole-merge kernel) gates identically to "auto" — a flipped default
-        must never drag CPU runs through the interpreter. Inside the
-        shard_map path each shard IS a single device, so the multi-device
-        gate lifts (``_shard_local``)."""
-        if flag in ("auto", "fused"):
+        """bool | "auto" | "fused" | "transpose" | "fused_transpose" ->
+        effective enablement (auto = single-chip TPU: the CPU fallback is
+        the slow interpreter, and pallas_call does not partition under a
+        >1-device mesh). Every string variant ("fused" whole-merge
+        kernel, "transpose" lane-stage hedge, …) gates identically to
+        "auto" — a flipped default must never drag CPU runs through the
+        interpreter. Inside the shard_map path each shard IS a single
+        device, so the multi-device gate lifts (``_shard_local``)."""
+        if isinstance(flag, str) and flag:
             return jax.default_backend() == "tpu" and (
                 self.mesh is None
                 or self.mesh.size == 1
@@ -351,11 +352,14 @@ class DetectorSimulator:
         pallas_on = self._pallas_enabled
         use_pallas = pallas_on(eng.pallas_transport)
         use_pallas_lookup = pallas_on(eng.pallas_lookup)
-        # "fused" = whole-merge kernel (sort_pallas.merge_runs_fused_pallas),
-        # auto-gated like "auto" (single-chip TPU only)
+        # "fused*" = whole-merge kernel (sort_pallas.merge_runs_fused_pallas),
+        # "*transpose" = transpose lane-stage variant; every string value
+        # auto-gates like "auto" (single-chip TPU only). "auto" itself
+        # maps to the plain pair-sort kernels (True) when enabled.
         use_pallas_sort = (
-            "fused"
-            if eng.pallas_sort == "fused" and pallas_on(eng.pallas_sort)
+            eng.pallas_sort
+            if eng.pallas_sort in ("fused", "transpose", "fused_transpose")
+            and pallas_on(eng.pallas_sort)
             else pallas_on(eng.pallas_sort)
         )
         if use_pallas and n_steps <= eng.chunk_steps:

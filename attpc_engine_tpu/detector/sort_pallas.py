@@ -352,9 +352,9 @@ def sort_pairs_pallas(
     )
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("interpret", "lane_mode"))
 def sort_i64_pallas(
-    x: jax.Array, interpret: bool | None = None
+    x: jax.Array, interpret: bool | None = None, lane_mode: str = "roll"
 ) -> jax.Array:
     """Row-wise ascending sort of [E, W] int64 via the 2-plane kernel.
 
@@ -369,7 +369,8 @@ def sort_i64_pallas(
     """
     hi = (x >> 32).astype(jnp.int32)
     lo = (x & 0xFFFFFFFF).astype(jnp.uint32).astype(jnp.int32)
-    sh, sl = sort_pairs_pallas(hi, lo, interpret=interpret)
+    sh, sl = sort_pairs_pallas(hi, lo, interpret=interpret,
+                               lane_mode=lane_mode)
     return (sh.astype(jnp.int64) << 32) | sl.astype(jnp.uint32).astype(
         jnp.int64
     )
