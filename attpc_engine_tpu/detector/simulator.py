@@ -196,7 +196,7 @@ class EngineParams:
     pallas_transport: bool | str = "auto"
     pallas_lookup: bool | str = "auto"
     pallas_sort: bool | str = False
-    lookup_two_stage: bool | str = False
+    lookup_two_stage: bool | str = "auto"
     transfer_quantum: int = 65536
 
 
