@@ -21,6 +21,7 @@ would otherwise dead-wait on its own tag).
 
 from __future__ import annotations
 
+import calendar
 import os
 import re
 import sys
@@ -29,28 +30,58 @@ from collections import Counter
 
 STATUS_PATH = "/tmp/runbook_status"
 
+# Longest single watcher job timeout (tools/tunnel_chain_v2.sh `ab`,
+# 4800 s) plus margin. A tag whose LAST `start` line is older than this
+# with no matching `rc=` line cannot still be running — its job would
+# have been killed by its own `timeout` wrapper — so the watcher died
+# without logging (round 4: the `ladder` job orphaned its tag and both
+# driver artifacts sat in `[tpu-idle] waiting` until rc=124).
+TAG_TIMEOUT_S = 4900.0
+
 # watcher job lines: "plain1 start Tue Aug ..." / "r4 ab rc=0 Tue Aug ..."
-_START_RE = re.compile(r"^(?:r4 )?([a-z0-9_]+) start ")
+_START_RE = re.compile(r"^(?:r4 )?([a-z0-9_]+) start (.+)$")
 _RC_RE = re.compile(r"^(?:r4 )?([a-z0-9_]+) rc=-?\d+")
 # phase markers that are not start/rc job pairs
 _NON_JOBS = {"runbook", "chain"}
 
 
-def parse_busy(text: str) -> str | None:
+def _parse_date(s: str) -> float | None:
+    """Epoch seconds for a `date`-style UTC stamp, or None when unparsable."""
+    s = s.strip()
+    for fmt in ("%a %b %d %H:%M:%S %Z %Y", "%a %b %d %H:%M:%S %Y"):
+        try:
+            return calendar.timegm(time.strptime(s, fmt))
+        except ValueError:
+            continue
+    return None
+
+
+def parse_busy(text: str, now: float | None = None,
+               tag_timeout_s: float = TAG_TIMEOUT_S) -> str | None:
     """Return the tag of an in-flight watcher job, or None when idle.
 
     A job is in flight when its tag has more ``start`` lines than ``rc=``
-    lines. The runbook's initial backend verification (a real TPU process
-    that logs no start/rc pair) is tracked through its own phase markers.
+    lines AND its last ``start`` stamp is younger than ``tag_timeout_s``
+    (every chain job runs under ``timeout`` shorter than that bound, so an
+    older open tag means the watcher died without logging its ``rc=`` —
+    the tag is ORPHANED, not busy). An unparsable stamp keeps the tag busy
+    (conservative); the caller's file-mtime staleness window still bounds
+    that case. The runbook's initial backend verification (a real TPU
+    process that logs no start/rc pair) is tracked through its own phase
+    markers.
     """
+    if now is None:
+        now = time.time()
     starts: Counter[str] = Counter()
     rcs: Counter[str] = Counter()
+    last_start: dict[str, float | None] = {}
     verifying = False
     for line in text.splitlines():
         line = line.strip()
         m = _START_RE.match(line)
         if m and m.group(1) not in _NON_JOBS:
             starts[m.group(1)] += 1
+            last_start[m.group(1)] = _parse_date(m.group(2))
         m = _RC_RE.match(line)
         if m:
             rcs[m.group(1)] += 1
@@ -65,10 +96,54 @@ def parse_busy(text: str) -> str | None:
             verifying = False
     for tag, n in starts.items():
         if n > rcs.get(tag, 0):
+            t0 = last_start.get(tag)
+            if t0 is not None and now - t0 > tag_timeout_s:
+                continue  # orphaned: older than any job's own timeout
             return tag
     if verifying:
         return "backend-verify"
     return None
+
+
+def close_orphans(status_path: str = STATUS_PATH,
+                  tag_timeout_s: float = TAG_TIMEOUT_S) -> list[str]:
+    """Append a synthetic ``<tag> rc=-1`` line for every orphaned tag.
+
+    Best-effort recovery bookkeeping: a watcher that died mid-job leaves
+    its tag open forever; closing it in the file (rather than only
+    age-filtering at parse time) makes the record self-describing for
+    shell-side readers like tools/chain_followup scripts. Returns the
+    tags closed."""
+    try:
+        with open(status_path) as f:
+            text = f.read()
+    except OSError:
+        return []
+    now = time.time()
+    closed = []
+    # a tag parse_busy skips on age but counts as open start>rc is orphaned
+    if parse_busy(text, now=now, tag_timeout_s=tag_timeout_s) is None:
+        starts: Counter[str] = Counter()
+        rcs: Counter[str] = Counter()
+        for line in text.splitlines():
+            m = _START_RE.match(line.strip())
+            if m and m.group(1) not in _NON_JOBS:
+                starts[m.group(1)] += 1
+            m = _RC_RE.match(line.strip())
+            if m:
+                rcs[m.group(1)] += 1
+        stamp = time.strftime("%a %b %d %H:%M:%S UTC %Y", time.gmtime(now))
+        for tag, n in starts.items():
+            if n > rcs.get(tag, 0):
+                closed.append(tag)
+        if closed:
+            try:
+                with open(status_path, "a") as f:
+                    for tag in closed:
+                        f.write(f"{tag} rc=-1 orphan-closed {stamp}\n")
+            except OSError:
+                return []
+    return closed
 
 
 def watcher_ancestor() -> bool:
@@ -108,13 +183,14 @@ def wait_for_tpu_idle(
     """Block until the watcher status file shows no job in flight.
 
     Returns immediately when the status file does not exist, when the
-    caller is a watcher descendant, or when the file has not been touched
-    for ``stale_s`` seconds. ``stale_s`` MUST exceed the longest single
-    watcher job timeout (currently 4800 s, tools/tunnel_chain_v2.sh's
-    ``ab`` job) — the file is only appended at job start/end, so a
-    shorter window would declare a still-running job dead and start an
-    overlapping TPU process. An open tag on a file stale past that bound
-    means the watcher itself was killed.
+    caller is a watcher descendant, or when every open tag is ORPHANED —
+    its last ``start`` stamp older than ``TAG_TIMEOUT_S`` (per-tag age
+    from the line's own timestamp, NOT file mtime: round 4's `ladder`
+    job died without its ``rc=`` line while later appends kept the mtime
+    fresh, and the driver's bench + dryrun both wedged to rc=124). The
+    file-mtime window ``stale_s`` remains as the fallback for stamps the
+    parser can't read; it MUST exceed the longest single watcher job
+    timeout (4800 s, tools/tunnel_chain_v2.sh's ``ab`` job).
     Gives up (and proceeds) after ``max_wait_s``.
     """
     if watcher_ancestor():
@@ -132,6 +208,14 @@ def wait_for_tpu_idle(
             if announced is not None:
                 print(f"[tpu-idle] job '{announced}' finished; proceeding",
                       file=sys.stderr)
+            closed = close_orphans(status_path)
+            if closed:
+                print(
+                    f"[tpu-idle] closed orphaned watcher tags {closed} "
+                    "(start older than the per-tag timeout; watcher died "
+                    "without logging rc)",
+                    file=sys.stderr,
+                )
             return
         if time.time() - st.st_mtime > stale_s:
             print(

@@ -60,8 +60,13 @@ def main() -> None:
         # watcher job.
         from attpc_engine_tpu.utils.idle import wait_for_tpu_idle
 
+        # capped FAR below the driver's ~10-min run timeout: round 4's
+        # 7200 s default wedged the round-end BENCH into rc=124 on an
+        # orphaned watcher tag. 300 s is enough for a winding-down job's
+        # rc line to land; past that, proceeding risks less than zeroing
+        # the round's only perf artifact.
         wait_for_tpu_idle(
-            max_wait_s=float(os.environ.get("BENCH_IDLE_WAIT_S", 7200))
+            max_wait_s=float(os.environ.get("BENCH_IDLE_WAIT_S", 300))
         )
 
     import jax

@@ -15,30 +15,37 @@ import sys
 import time
 
 from attpc_engine_tpu.utils.idle import (
+    TAG_TIMEOUT_S,
+    close_orphans,
     parse_busy,
     wait_for_tpu_idle,
     watcher_ancestor,
 )
 
-IDLE_LOG = """\
-runbook start Tue Aug 18 10:34:59 UTC 2026
-r4 chain armed Tue Aug 18 12:00:20 UTC 2026
+# Fixture stamps are generated FRESH at import so the open-tag fixtures
+# stay within TAG_TIMEOUT_S of "now" (hardcoded dates silently aged into
+# orphans once the per-tag age check landed).
+_NOW = time.strftime("%a %b %d %H:%M:%S UTC %Y", time.gmtime())
+
+IDLE_LOG = f"""\
+runbook start {_NOW}
+r4 chain armed {_NOW}
 """
 
-VERIFYING = IDLE_LOG + "port open at Tue Aug 18 13:00:00 UTC 2026, verifying backend\n"
+VERIFYING = IDLE_LOG + f"port open at {_NOW}, verifying backend\n"
 
-UP = VERIFYING + "[TpuDevice(id=0)]\ntunnel up at Tue Aug 18 13:01:00 UTC 2026\n"
+UP = VERIFYING + f"[TpuDevice(id=0)]\ntunnel up at {_NOW}\n"
 
-OPEN_JOB = UP + "plain1 start Tue Aug 18 13:01:30 UTC 2026\n"
+OPEN_JOB = UP + f"plain1 start {_NOW}\n"
 
-CLOSED_JOB = OPEN_JOB + "plain1 rc=0 Tue Aug 18 13:20:00 UTC 2026\n"
+CLOSED_JOB = OPEN_JOB + f"plain1 rc=0 {_NOW}\n"
 
 R4_OPEN = CLOSED_JOB + (
-    "runbook done Tue Aug 18 16:00:00 UTC 2026\n"
-    "r4 sortbench start Tue Aug 18 16:01:00 UTC 2026\n"
+    f"runbook done {_NOW}\n"
+    f"r4 sortbench start {_NOW}\n"
 )
 
-R4_CLOSED = R4_OPEN + "r4 sortbench rc=124 Tue Aug 18 16:41:00 UTC 2026\n"
+R4_CLOSED = R4_OPEN + f"r4 sortbench rc=124 {_NOW}\n"
 
 
 def test_parse_busy_states():
@@ -57,14 +64,14 @@ def test_parse_busy_states():
 
 def test_parse_busy_restart_pairs():
     # a watchdog re-arm appends a second start for the same tag
-    text = CLOSED_JOB + "plain1 start Tue Aug 19 01:00:00 UTC 2026\n"
+    text = CLOSED_JOB + f"plain1 start {_NOW}\n"
     assert parse_busy(text) == "plain1"
-    text += "plain1 rc=0 Tue Aug 19 01:30:00 UTC 2026\n"
+    text += f"plain1 rc=0 {_NOW}\n"
     assert parse_busy(text) is None
 
 
 def test_parse_busy_gave_up_closes_verify():
-    text = VERIFYING + "gave up at Tue Aug 18 21:00:00 UTC 2026\n"
+    text = VERIFYING + f"gave up at {_NOW}\n"
     assert parse_busy(text) is None
 
 
@@ -114,6 +121,92 @@ def test_wait_max_wait_bound(tmp_path):
     t0 = time.monotonic()
     wait_for_tpu_idle(status_path=str(p), poll_s=0.05, max_wait_s=0.2)
     assert time.monotonic() - t0 < 2.0
+
+
+import calendar
+
+
+def _epoch(stamp: str) -> float:
+    return calendar.timegm(time.strptime(stamp, "%a %b %d %H:%M:%S %Z %Y"))
+
+
+# The exact failure that zeroed round 4's driver artifacts: the `ladder`
+# job's watcher died without writing its rc= line, and a later followup
+# appended its own (closed) jobs — keeping the file MTIME fresh while the
+# orphaned tag stayed open. idle.py's old busy-parse counted starts>rcs
+# with no per-tag age check, so bench.py and dryrun_multichip waited
+# until the driver's timeout killed them (BENCH_r04/MULTICHIP_r04 rc=124).
+R4_POISONED = UP + (
+    "ladder start Wed Aug 19 03:24:55 UTC 2026\n"
+    "followup armed Wed Aug 19 03:34:56 UTC 2026\n"
+    "ab2 start Wed Aug 19 04:58:36 UTC 2026\n"
+    "ab2 rc=0 Wed Aug 19 05:14:10 UTC 2026\n"
+    "warmpost start Wed Aug 19 05:20:28 UTC 2026\n"
+    "warmpost rc=0 Wed Aug 19 05:25:19 UTC 2026\n"
+)
+
+
+def test_parse_busy_orphaned_tag_by_line_age():
+    # while `ladder` is within its own job timeout it is genuinely busy
+    t_start = _epoch("Wed Aug 19 03:24:55 UTC 2026")
+    assert parse_busy(R4_POISONED, now=t_start + 600) == "ladder"
+    # once its start stamp is older than any job's own `timeout` wrapper
+    # the tag is orphaned — idle, regardless of later file activity
+    assert parse_busy(R4_POISONED, now=t_start + TAG_TIMEOUT_S + 1) is None
+
+
+def test_parse_busy_unparsable_stamp_stays_busy():
+    # conservative: a stamp the parser can't read never ages out here
+    # (the caller's file-mtime staleness window bounds that case)
+    text = UP + "oddjob start not-a-date\n"
+    assert parse_busy(text, now=time.time() + 1e9) == "oddjob"
+
+
+def test_wait_orphaned_tag_fresh_mtime_proceeds(tmp_path):
+    """Round-4 regression: orphaned tag + fresh file mtime must proceed."""
+    p = tmp_path / "status"
+    p.write_text(R4_POISONED)  # mtime = now; `ladder` start is 2026-08-19
+    t0 = time.monotonic()
+    wait_for_tpu_idle(status_path=str(p), poll_s=0.05, max_wait_s=30)
+    assert time.monotonic() - t0 < 2.0
+    # and the orphan was closed in the file for shell-side readers
+    assert "ladder rc=-1 orphan-closed" in p.read_text()
+
+
+def test_close_orphans_appends_and_is_idempotent(tmp_path):
+    p = tmp_path / "status"
+    p.write_text(R4_POISONED)
+    assert close_orphans(str(p)) == ["ladder"]
+    assert parse_busy(p.read_text()) is None
+    assert close_orphans(str(p)) == []
+    assert p.read_text().count("orphan-closed") == 1
+
+
+def test_close_orphans_leaves_live_jobs_alone(tmp_path):
+    p = tmp_path / "status"
+    stamp = time.strftime("%a %b %d %H:%M:%S UTC %Y", time.gmtime())
+    p.write_text(UP + f"livejob start {stamp}\n")
+    assert close_orphans(str(p)) == []
+    assert "orphan-closed" not in p.read_text()
+
+
+def test_driver_entry_wait_bounds_under_driver_timeout():
+    """The driver kills its runs at ~10 min; the idle waits inside the
+    driver entry points must be bounded far below that (round 4's
+    unbounded waits turned both artifacts into rc=124 zeros)."""
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for fname, bound in (("bench.py", 300), ("__graft_entry__.py", 240)):
+        with open(os.path.join(repo, fname)) as f:
+            src = f.read()
+        waits = [
+            float(m)
+            for m in re.findall(r"max_wait_s\s*=\s*(?:float\(os\.environ\."
+                                r"get\([^,]+,\s*)?(\d+(?:\.\d+)?)", src)
+        ]
+        assert waits, f"{fname}: no bounded wait found"
+        assert max(waits) <= bound, (fname, waits)
 
 
 def test_watcher_ancestor_detection():
