@@ -20,6 +20,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass
 from pathlib import Path
+from typing import ClassVar
 
 import jax
 import jax.numpy as jnp
@@ -175,14 +176,19 @@ class EngineParams:
         ``"fused"`` is auto-gated exactly like ``"auto"`` (single-chip
         TPU only), so it is safe as a default; rows too wide for the
         kernels' VMEM budget fall back to lax.sort either way
-        (sort_pallas.fits_invmem). Default False until the TPU A/B
-        lands (docs/roofline.md derives the expected ~3-4x on the sort
-        stage).
+        (sort_pallas.fits_invmem). Default False: the round-4 on-TPU
+        A/B could not COMPILE either sort variant — the Mosaic remote
+        compile helper dies (HTTP 500, subprocess exit 1) on the
+        136-unrolled-stage network even after the weak-64-bit fixes
+        (BASELINE.md round-4 section; docs/roofline.md derived ~3-4x on
+        the sort stage if a compilable formulation is found).
     lookup_two_stage: bool | str
         Same semantics for the two-stage lookup select (second one-hot
         MXU matmul per 12-point group + narrow VPU select,
         deposit_pallas.packed_key_lookup_2s_pallas); bit-exact vs the
-        one-stage kernel. Default False until the TPU A/B lands.
+        one-stage kernel. Default "auto": measured 211.0 ms vs 228.9 ms
+        base on TPU v5e (1.085x fused-step win, round-4 A/B rb_ab2) and
+        auto-flipped in commit b8c394a.
     """
 
     n_time_steps: int = 10000
@@ -198,6 +204,25 @@ class EngineParams:
     pallas_sort: bool | str = False
     lookup_two_stage: bool | str = "auto"
     transfer_quantum: int = 65536
+
+    # accepted string values per kernel knob; any other string is a typo
+    # (e.g. "Fused") that would previously silently downgrade to the
+    # plain kernel path — reject it loudly instead (ADVICE r4)
+    _FLAG_VALUES: ClassVar[dict[str, tuple[str, ...]]] = {
+        "pallas_transport": ("auto",),
+        "pallas_lookup": ("auto",),
+        "pallas_sort": ("auto", "fused", "transpose", "fused_transpose"),
+        "lookup_two_stage": ("auto",),
+    }
+
+    def __post_init__(self) -> None:
+        for name, allowed in self._FLAG_VALUES.items():
+            v = getattr(self, name)
+            if isinstance(v, str) and v not in allowed:
+                raise ValueError(
+                    f"EngineParams.{name}={v!r}: expected a bool or one of "
+                    f"{allowed}"
+                )
 
 
 class DetectorSimulator:

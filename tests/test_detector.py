@@ -422,3 +422,23 @@ def test_fused_default_gates_off_cpu(monkeypatch):
         np.testing.assert_array_equal(
             np.asarray(out_base[name]), np.asarray(out_f[name]), err_msg=name
         )
+
+
+def test_engine_params_rejects_unknown_flag_strings():
+    """A typo'd kernel-flag string must raise, not silently downgrade to
+    the plain kernel path (ADVICE r4)."""
+    import pytest
+
+    from attpc_engine_tpu.detector import EngineParams
+
+    # every documented value constructs
+    for v in (True, False, "auto", "fused", "transpose", "fused_transpose"):
+        EngineParams(pallas_sort=v)
+    for v in (True, False, "auto"):
+        EngineParams(pallas_transport=v, pallas_lookup=v, lookup_two_stage=v)
+    with pytest.raises(ValueError, match="pallas_sort='Fused'"):
+        EngineParams(pallas_sort="Fused")
+    with pytest.raises(ValueError, match="lookup_two_stage"):
+        EngineParams(lookup_two_stage="fused")
+    with pytest.raises(ValueError, match="pallas_transport"):
+        EngineParams(pallas_transport="on")

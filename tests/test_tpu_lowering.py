@@ -10,7 +10,16 @@ i64->i32 convert that infinitely recurses Mosaic's ``_convert_helper``;
 a bare ``0.0`` mints unsupported f64 casts; a scalar-output ``jnp.sum``
 takes Mosaic's proxy path, which re-traces WITHOUT the explicit dtype
 and creates an i64 accumulator). Interpret-mode tests cannot catch any
-of that; this file would have.
+of that; this file would have caught those PYTHON-SIDE leaks.
+
+KNOWN LIMIT (round-4 measured): host-side lowering stops at serialized
+MLIR — it does NOT run the backend TPU compiler. After the fixes above
+every kernel lowers clean here, yet the in-VMEM sort and fused-merge
+kernels STILL fail on real TPU inside the remote compile helper
+(HTTP 500, subprocess exit 1): a compile-time resource blowup on the
+136-unrolled-stage network that only the actual Mosaic backend sees
+(BASELINE.md round-4 section). A green run of this file therefore means
+"no Python-side lowering bugs", not "compiles on silicon".
 
 Reference behavioral basis for the kernels themselves:
 /root/reference/src/attpc_engine/detector/solver.py (transport),

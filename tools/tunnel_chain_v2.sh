@@ -23,6 +23,20 @@ set -u
 cd /root/repo
 S=/tmp/runbook_status
 R3TREE=${RUNBOOK_TREE:-/root/repo/.worktrees/r3}
+# the r3 validation tree is pinned by COMMIT HASH, not by gitlink (a
+# committed gitlink gives fresh clones a phantom submodule — ADVICE r4).
+# Recreate on any box with:
+#   git worktree add .worktrees/r3 $R3_PIN
+R3_PIN=6d50b63d14b81116f5fcc0320eb47b75fd20f7f2
+if [ -d "$R3TREE" ]; then
+  have=$(git -C "$R3TREE" rev-parse HEAD 2>/dev/null || echo none)
+  if [ "$have" != "$R3_PIN" ]; then
+    echo "chain r3 tree at $have != pin $R3_PIN; P3 jobs will be skipped" >> "$S"
+    R3TREE=""
+  fi
+else
+  R3TREE=""
+fi
 echo "chainv2 armed $(date)" >> "$S"
 
 # Cheap port probe loop (no python, no TPU process) — the relay listens
@@ -68,13 +82,17 @@ fi
 # ---- P3: r3-validation plain/recycle A/B (pinned worktree, x2) -------- #
 # python <script path> puts the script's dir first on sys.path, so these
 # import the r3 tree's package regardless of cwd
-run r3plain1 2400 env BENCH_RECYCLE=0 python "$R3TREE/bench.py"
-run r3rec1   2400 env BENCH_RECYCLE=1 python "$R3TREE/bench.py"
-run r3plain2 2400 env BENCH_RECYCLE=0 python "$R3TREE/bench.py"
-run r3rec2   2400 env BENCH_RECYCLE=1 python "$R3TREE/bench.py"
+if [ -n "$R3TREE" ]; then
+  run r3plain1 2400 env BENCH_RECYCLE=0 python "$R3TREE/bench.py"
+  run r3rec1   2400 env BENCH_RECYCLE=1 python "$R3TREE/bench.py"
+  run r3plain2 2400 env BENCH_RECYCLE=0 python "$R3TREE/bench.py"
+  run r3rec2   2400 env BENCH_RECYCLE=1 python "$R3TREE/bench.py"
+fi
 
 # ---- P4: ladder, cold warmup, profiles, sort microbench --------------- #
-run ladder 3600 env LADDER_SCALE=1 python "$R3TREE/tools/run_ladder.py"
+# main tree (the r4 hang was in the r3 tree's monolithic ladder run;
+# run_ladder now also supports per-rung invocation — see LADDER_ONLY)
+run ladder 3600 env LADDER_SCALE=1 python tools/run_ladder.py
 CD=$(mktemp -d)
 run cold 2400 env BENCH_CACHE_DIR="$CD" BENCH_EVENTS=2000 python bench.py
 rm -rf "$CD"
