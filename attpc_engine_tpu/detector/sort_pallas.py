@@ -70,6 +70,16 @@ def _bit_mask(shape, dist: int, trans: bool = False):
     return (io & np.int32(dist // _LANES)) == 0
 
 
+def _bit(shape, dist: int, trans: bool = False):
+    """int32 0/1: bit log2(dist) of the flattened element index (the
+    power-of-two ``dist`` selects the bit). Same axis split as _bit_mask."""
+    if dist < _LANES:
+        io = jax.lax.broadcasted_iota(jnp.int32, shape, 0 if trans else 1)
+        return (io // np.int32(dist)) & np.int32(1)
+    io = jax.lax.broadcasted_iota(jnp.int32, shape, 1 if trans else 0)
+    return (io // np.int32(dist // _LANES)) & np.int32(1)
+
+
 def _partner(x, low, dist: int, trans: bool = False):
     """Value at index i XOR dist: roll both directions, pick per element."""
     if dist < _LANES:
@@ -84,16 +94,25 @@ def _partner(x, low, dist: int, trans: bool = False):
 def _stage(h, l, d: int, sz: int, trans: bool):  # noqa: E741
     """One bitonic compare-exchange stage at XOR-distance d, phase sz."""
     shape = h.shape
-    asc = _bit_mask(shape, sz, trans)  # (i & total) == 0 is all-True
     low = _bit_mask(shape, d, trans)
+    # ascending & low-index keeps the min (swap on gt); the other three
+    # (asc, low) cases follow by symmetry. asc == low compared as BOOLS
+    # lowers to an i8->i1 arith.trunci Mosaic cannot legalize — the real
+    # root cause of every round-4 "HTTP 500" sort-kernel compile failure
+    # (r5 probe, tools/probe_mosaic_sort.py). Compare the index bits as
+    # int32 instead: asc == low  <=>  bit_sz(i) == bit_d(i), since
+    # asc = (bit_sz == 0) and low = (bit_d == 0); bit_sz of any index is
+    # 0 in the final phase (sz == total), keeping asc's all-True case.
+    same = _bit(shape, sz, trans) == _bit(shape, d, trans)
     ph = _partner(h, low, d, trans)
     plo = _partner(l, low, d, trans)
     eq = h == ph
     gt = (h > ph) | (eq & (l > plo))
     lt = (h < ph) | (eq & (l < plo))
-    # ascending & low-index keeps the min (swap on gt); the other three
-    # (asc, low) cases follow by symmetry
-    take = jnp.where(asc == low, gt, lt)
+    # NOT jnp.where(same, gt, lt): a select with BOOL value operands is
+    # the second Mosaic legalize failure (i8->i1 trunci, r5 micro-probe);
+    # pure i1 logic lowers fine
+    take = (same & gt) | (~same & lt)
     return jnp.where(take, ph, h), jnp.where(take, plo, l)
 
 
