@@ -176,12 +176,18 @@ class EngineParams:
         ``"fused"`` is auto-gated exactly like ``"auto"`` (single-chip
         TPU only), so it is safe as a default; rows too wide for the
         kernels' VMEM budget fall back to lax.sort either way
-        (sort_pallas.fits_invmem). Default False: the round-4 on-TPU
-        A/B could not COMPILE either sort variant — the Mosaic remote
-        compile helper dies (HTTP 500, subprocess exit 1) on the
-        136-unrolled-stage network even after the weak-64-bit fixes
-        (BASELINE.md round-4 section; docs/roofline.md derived ~3-4x on
-        the sort stage if a compilable formulation is found).
+        (sort_pallas.fits_invmem). Default ``"transpose"``: round 5
+        root-caused the round-4 compile failures to two bool-lowering
+        hazards in ``_stage`` (bool==bool and select-of-bools, each an
+        i8->i1 arith.trunci Mosaic cannot legalize) — with the fix the
+        pair-sort kernels compile and run bit-exact on silicon, and the
+        transposed lane-stage variant WON the fused-step A/B (204.1 ms
+        vs 213.2 base = 1.045x, tools/ab_round5.py; roll variant lost at
+        221.8). ``"fused"``/``"fused_transpose"`` remain opt-in: the
+        whole-merge kernel compiles at W<=16384 (302 s!) but the backend
+        compile helper dies without a diagnostic at the bench merge
+        width (W=57600, ~272 unrolled stages) — parked until the network
+        is restructured (BASELINE.md round-5 section).
     lookup_two_stage: bool | str
         Same semantics for the two-stage lookup select (second one-hot
         MXU matmul per 12-point group + narrow VPU select,
@@ -201,7 +207,7 @@ class EngineParams:
     events_per_batch: int = 256
     pallas_transport: bool | str = "auto"
     pallas_lookup: bool | str = "auto"
-    pallas_sort: bool | str = False
+    pallas_sort: bool | str = "transpose"
     lookup_two_stage: bool | str = "auto"
     transfer_quantum: int = 65536
 
@@ -785,7 +791,13 @@ class DetectorSimulator:
         else:
             use_pallas = False
         if use_pallas:
-            k_s = sort_i64_pallas(key64.reshape(e, w))
+            lane_mode = (
+                "transpose"
+                if isinstance(self.engine.pallas_sort, str)
+                and "transpose" in self.engine.pallas_sort
+                else "roll"
+            )
+            k_s = sort_i64_pallas(key64.reshape(e, w), lane_mode=lane_mode)
         else:
             k_s = jax.lax.sort(
                 key64.reshape(e, w), dimension=1, is_stable=False

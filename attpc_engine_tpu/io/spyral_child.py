@@ -135,6 +135,16 @@ def load_native():
         lib.sio_h5_mem_prewarm.restype = None
         if lib.sio_h5_init(h5.encode()) != 0:
             return None
+        # opt-in 1.8-format files (dense attrs + fractal-heap links):
+        # the per-event metadata CPU is the measured writer floor on
+        # warm-page epochs; content is h5py-identical, bytes are not
+        if os.environ.get("ATTPC_H5_LATEST"):
+            try:
+                lib.sio_h5_set_latest.argtypes = [ctypes.c_int]
+                lib.sio_h5_set_latest.restype = None
+                lib.sio_h5_set_latest(1)
+            except AttributeError:
+                pass  # older prebuilt .so without the toggle
         return lib
     except OSError:
         return None

@@ -223,6 +223,9 @@ struct H5Api {
     herr (*set_fapl_core)(hid, size_t, unsigned) = nullptr;
     int64_t (*get_file_image)(hid, void*, size_t) = nullptr;  // ssize_t
     herr (*fflush)(hid, int) = nullptr;
+    // optional: new-format files (dense attrs + fractal-heap links) —
+    // the per-event metadata cost is the measured writer-child floor
+    herr (*set_libver)(hid, int, int) = nullptr;
     hid cls_facc = -1;
     hid t_f64le = -1, t_i64le = -1, t_nat_f64 = -1, t_nat_i64 = -1;
     hid s_scalar = -1;
@@ -294,12 +297,49 @@ extern "C" int sio_h5_init(const char* libpath) {
         mem_ok = g_h5.cls_facc >= 0;
     }
     g_h5.mem_ready = mem_ok;
+    resolve(lib, "H5Pset_libver_bounds", g_h5.set_libver);  // optional
     return 0;
 }
 
+// ---------------------------------------------------------------------------
+// New-format (libver >= 1.8) file creation. The writer child's measured
+// floor on a warm-page epoch is per-event HDF5 METADATA CPU (~2.4 ms/event
+// for 2 datasets + 6 attrs in old-format storage: symbol-table b-tree link
+// inserts + non-dense attribute messages). The 1.8 object-header format
+// stores the same objects with dense attributes and fractal-heap links.
+// Files remain readable by any h5py/HDF5 >= 1.8 (the Spyral contract is
+// h5py-level, not byte-level). Opt-in via sio_h5_set_latest(1) so the
+// default output stays byte-compatible with earlier rounds.
+// ---------------------------------------------------------------------------
+
+namespace {
+bool g_use_latest = false;
+
+// fapl for file creation honoring the latest-format toggle, or
+// H5P_DEFAULT_ when off/unavailable. Caller must pclose() when >= 0.
+hid make_fapl() {
+    if (!g_use_latest || !g_h5.set_libver || !g_h5.pcreate ||
+        g_h5.cls_facc < 0)
+        return H5P_DEFAULT_;
+    hid fapl = g_h5.pcreate(g_h5.cls_facc);
+    if (fapl < 0) return H5P_DEFAULT_;
+    // H5F_LIBVER_V18 = 1 as low and high: dense attrs + new object
+    // headers with maximum reader compatibility (everything >= 1.8)
+    if (g_h5.set_libver(fapl, 1, 1) < 0) {
+        g_h5.pclose(fapl);
+        return H5P_DEFAULT_;
+    }
+    return fapl;
+}
+}  // namespace
+
+extern "C" void sio_h5_set_latest(int on) { g_use_latest = on != 0; }
+
 extern "C" void* sio_h5_open(const char* path) {
     if (!g_h5.ready) return nullptr;
-    hid f = g_h5.fcreate(path, H5F_ACC_TRUNC_, H5P_DEFAULT_, H5P_DEFAULT_);
+    hid fapl = make_fapl();
+    hid f = g_h5.fcreate(path, H5F_ACC_TRUNC_, H5P_DEFAULT_, fapl);
+    if (fapl != H5P_DEFAULT_) g_h5.pclose(fapl);
     if (f < 0) return nullptr;
     hid g = g_h5.gcreate2(f, "cloud", H5P_DEFAULT_, H5P_DEFAULT_,
                           H5P_DEFAULT_);
@@ -499,6 +539,8 @@ extern "C" void* sio_h5_open_mem() {
         g_h5.pclose(fapl);
         return nullptr;
     }
+    if (g_use_latest && g_h5.set_libver)
+        g_h5.set_libver(fapl, 1, 1);  // best-effort, see sio_h5_set_latest
     static int seq = 0;
     char name[32];
     std::snprintf(name, sizeof(name), "siomem-%d.h5", seq++);

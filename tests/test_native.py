@@ -197,3 +197,52 @@ def test_spyral_io_h5_writer_values(tmp_path):
         assert isinstance(a["orig_run"], np.int64)
         assert g["cloud_1"].shape == (0, 8)
         assert g["labels_1"].shape == (0,)
+
+
+def test_spyral_io_h5_latest_format_values(tmp_path):
+    """sio_h5_set_latest(1) writes 1.8-format files (the writer child's
+    measured floor is per-event metadata CPU in old-format storage) with
+    h5py-identical content — the Spyral contract is h5py-level."""
+    import ctypes
+
+    import h5py
+
+    from attpc_engine_tpu.native import get_spyral_io_lib
+
+    lib = get_spyral_io_lib(with_h5=True)
+    if lib is None:
+        pytest.skip("libspyral_io h5 writer unavailable")
+    try:
+        lib.sio_h5_set_latest.argtypes = [ctypes.c_int]
+        lib.sio_h5_set_latest.restype = None
+    except AttributeError:
+        pytest.skip("prebuilt .so without sio_h5_set_latest")
+    d = ctypes.POINTER(ctypes.c_double)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    sp = np.arange(24, dtype=np.float64).reshape(3, 8)
+    labs = np.array([1, 0, 2], dtype=np.int64)
+
+    def write(path):
+        h = lib.sio_h5_open(path.encode())
+        assert h
+        assert lib.sio_h5_write_event(
+            h, 7, 0, sp.ctypes.data_as(d), 3, labs.ctypes.data_as(i64p)
+        ) == 0
+        assert lib.sio_h5_write_event(h, 7, 1, None, 0, None) == 0
+        assert lib.sio_h5_close(h, 0, 1) == 0
+
+    p_old = str(tmp_path / "old.h5")
+    p_new = str(tmp_path / "new.h5")
+    write(p_old)
+    lib.sio_h5_set_latest(1)
+    try:
+        write(p_new)
+    finally:
+        lib.sio_h5_set_latest(0)  # process-global toggle: restore
+    with h5py.File(p_old) as fa, h5py.File(p_new) as fb:
+        ga, gb = fa["cloud"], fb["cloud"]
+        assert dict(ga.attrs) == dict(gb.attrs)
+        for k in ("cloud_0", "labels_0", "cloud_1", "labels_1"):
+            np.testing.assert_array_equal(ga[k][()], gb[k][()])
+            assert ga[k].dtype == gb[k].dtype
+        assert dict(ga["cloud_0"].attrs) == dict(gb["cloud_0"].attrs)

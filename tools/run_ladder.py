@@ -5,6 +5,13 @@ Each config prints one line: events, wall seconds, events/s. Event counts
 scale with LADDER_SCALE (default 1.0; use a small value for CPU smoke
 tests). Writes everything under LADDER_OUTDIR (default /dev/shm).
 
+LADDER_CONFIGS (default "1,2,4") selects which rungs run, so each rung
+can be its own timeout-wrapped process: the round-4 chain ran all rungs
+in ONE process, which hung somewhere in config 3/4 and orphaned the
+status tag that wedged both driver artifacts (VERDICT r4). Use
+tools/run_ladder_r5.sh to run rungs as separately-killable process
+groups.
+
 Configs (BASELINE.json):
 1. Single-step two-body kinematics only: 16O(d,p)17O at 10 MeV/u,
    10k events, fixed excitation, HDF5 output.
@@ -36,6 +43,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 def main() -> None:
     scale = float(os.environ.get("LADDER_SCALE", "1.0"))
+    configs = {
+        c.strip()
+        for c in os.environ.get("LADDER_CONFIGS", "1,2,4").split(",")
+        if c.strip()
+    }
     base = Path(os.environ.get("LADDER_OUTDIR", "/dev/shm")) / "ladder"
     shutil.rmtree(base, ignore_errors=True)
     base.mkdir(parents=True)
@@ -81,108 +93,121 @@ def main() -> None:
               f"{rate:.0f} ev/s", file=sys.stderr)
 
     # ---- config 1: single-step two-body kinematics, fixed Ex ---------- #
-    n1 = max(int(10_000 * scale), 64)
-    pipe1 = KinematicsPipeline(
-        [
-            Reaction(
-                target=nuclear_map.get_data(1, 2),
-                projectile=nuclear_map.get_data(8, 16),
-                ejectile=nuclear_map.get_data(1, 1),
-            )
-        ],
-        [ExcitationGaussian(0.0, 0.0)],
-        [PolarUniform(0.0, np.pi)],
-        160.0,  # 16O at 10 MeV/u, inverse kinematics on d
-    )
-    # warm the sampler program outside the timed region
-    run_kinematics_pipeline(pipe1, min(n1, 4096), base / "warm1.h5",
-                            batch_size=min(n1, 65536), seed=2,
-                            show_progress=False)
-    timed("config1_kinematics_2body", n1, lambda: run_kinematics_pipeline(
-        pipe1, n1, base / "c1.h5", batch_size=min(n1, 65536), seed=1,
-        show_progress=False))
+    if "1" in configs:
+        n1 = max(int(10_000 * scale), 64)
+        pipe1 = KinematicsPipeline(
+            [
+                Reaction(
+                    target=nuclear_map.get_data(1, 2),
+                    projectile=nuclear_map.get_data(8, 16),
+                    ejectile=nuclear_map.get_data(1, 1),
+                )
+            ],
+            [ExcitationGaussian(0.0, 0.0)],
+            [PolarUniform(0.0, np.pi)],
+            160.0,  # 16O at 10 MeV/u, inverse kinematics on d
+        )
+        # warm the sampler program outside the timed region
+        run_kinematics_pipeline(pipe1, min(n1, 4096), base / "warm1.h5",
+                                batch_size=min(n1, 65536), seed=2,
+                                show_progress=False)
+        timed("config1_kinematics_2body", n1,
+              lambda: run_kinematics_pipeline(
+                  pipe1, n1, base / "c1.h5", batch_size=min(n1, 65536),
+                  seed=1, show_progress=False))
 
     # ---- config 2: chain with excited state + sequential decay -------- #
-    n2 = max(int(100_000 * scale), 64)
-    # 12C(d,p)13C* (Ex ~ 3.09 MeV state) followed by 13C* -> 12C + n,
-    # with a non-uniform (forward-peaked) angular distribution
-    angles = np.linspace(0.0, np.pi, 181)[:-1]  # bin lower edges
-    bin_w = float(np.pi / 180.0)
-    probs = np.cos(angles / 2.0) ** 2
-    probs /= probs.sum()
-    pipe2 = KinematicsPipeline(
-        [
-            Reaction(
-                target=nuclear_map.get_data(1, 2),
-                projectile=nuclear_map.get_data(6, 12),
-                ejectile=nuclear_map.get_data(1, 1),
-            ),
-            Decay(
-                parent=nuclear_map.get_data(6, 13),
-                residual_1=nuclear_map.get_data(0, 1),
-            ),
-        ],
-        [ExcitationGaussian(6.0, 0.5), ExcitationGaussian(0.0, 0.0)],
-        [PolarArbitrary(angles, probs, bin_w), PolarUniform(0.0, np.pi)],
-        120.0,
-    )
-    run_kinematics_pipeline(pipe2, min(n2, 4096), base / "warm2.h5",
-                            batch_size=min(n2, 65536), seed=2,
-                            show_progress=False)
-    timed("config2_kinematics_chain", n2, lambda: run_kinematics_pipeline(
-        pipe2, n2, base / "c2.h5", batch_size=min(n2, 65536), seed=1,
-        show_progress=False))
+    if "2" in configs:
+        n2 = max(int(100_000 * scale), 64)
+        # 12C(d,p)13C* (Ex ~ 3.09 MeV state) followed by 13C* -> 12C + n,
+        # with a non-uniform (forward-peaked) angular distribution
+        angles = np.linspace(0.0, np.pi, 181)[:-1]  # bin lower edges
+        bin_w = float(np.pi / 180.0)
+        probs = np.cos(angles / 2.0) ** 2
+        probs /= probs.sum()
+        pipe2 = KinematicsPipeline(
+            [
+                Reaction(
+                    target=nuclear_map.get_data(1, 2),
+                    projectile=nuclear_map.get_data(6, 12),
+                    ejectile=nuclear_map.get_data(1, 1),
+                ),
+                Decay(
+                    parent=nuclear_map.get_data(6, 13),
+                    residual_1=nuclear_map.get_data(0, 1),
+                ),
+            ],
+            [ExcitationGaussian(6.0, 0.5), ExcitationGaussian(0.0, 0.0)],
+            [PolarArbitrary(angles, probs, bin_w), PolarUniform(0.0, np.pi)],
+            120.0,
+        )
+        run_kinematics_pipeline(pipe2, min(n2, 4096), base / "warm2.h5",
+                                batch_size=min(n2, 65536), seed=2,
+                                show_progress=False)
+        timed("config2_kinematics_chain", n2,
+              lambda: run_kinematics_pipeline(
+                  pipe2, n2, base / "c2.h5", batch_size=min(n2, 65536),
+                  seed=1, show_progress=False))
 
     # ---- configs 3+4: kinematics + full detector + point clouds ------- #
-    gas = GasTarget([(1, 2, 2)], 300.0, nuclear_map)
-    config = Config(
-        DetectorParams(1.0, 45000.0, 2.85, 175000, gas, 0.277, 0.2, 34.0),
-        ElectronicsParams(6.25, 900, 1000, 10, 560, 40),
-        PadParams(),
-    )
-    pipe4 = KinematicsPipeline(
-        [
-            Reaction(
-                target=nuclear_map.get_data(1, 2),
-                projectile=nuclear_map.get_data(6, 12),
-                ejectile=nuclear_map.get_data(1, 1),
-            )
-        ],
-        [ExcitationGaussian(0.0, 0.0)],
-        [PolarUniform(0.0, np.pi)],
-        120.0,
-    )
-    n4 = max(int(100_000 * scale), 64)
-    eb = int(os.environ.get("LADDER_BATCH", "384"))
-    eb = min(eb, max(n4 // 2, 16))
-    engine = EngineParams(events_per_batch=eb)
-    kine4 = base / "c4_kine.h5"
-    clouds = base / "c4_clouds"
-    clouds.mkdir()
-    # recycled in-memory run files: seed the pool + return flow (separate
-    # pruner process, bounded) so the mem path actually sees warm spares
-    from attpc_engine_tpu.io.recycle import seed_spares, spawn_pruner
+    if "4" in configs or "3" in configs:
+        gas = GasTarget([(1, 2, 2)], 300.0, nuclear_map)
+        config = Config(
+            DetectorParams(1.0, 45000.0, 2.85, 175000, gas, 0.277, 0.2,
+                           34.0),
+            ElectronicsParams(6.25, 900, 1000, 10, 560, 40),
+            PadParams(),
+        )
+        pipe4 = KinematicsPipeline(
+            [
+                Reaction(
+                    target=nuclear_map.get_data(1, 2),
+                    projectile=nuclear_map.get_data(6, 12),
+                    ejectile=nuclear_map.get_data(1, 1),
+                )
+            ],
+            [ExcitationGaussian(0.0, 0.0)],
+            [PolarUniform(0.0, np.pi)],
+            120.0,
+        )
+        n4 = max(int(100_000 * scale), 64)
+        eb = int(os.environ.get("LADDER_BATCH", "384"))
+        eb = min(eb, max(n4 // 2, 16))
+        engine = EngineParams(events_per_batch=eb)
+        kine4 = base / "c4_kine.h5"
+        clouds = base / "c4_clouds"
+        clouds.mkdir()
+        # recycled in-memory run files: seed the pool + return flow
+        # (separate pruner process, bounded) so the mem path actually sees
+        # warm spares
+        from attpc_engine_tpu.io.recycle import seed_spares, spawn_pruner
 
-    seed_spares(clouds, n=2)
-    pruner = spawn_pruner(clouds, keep=2, max_spares=3)
-    run_kinematics_pipeline(pipe4, n4, kine4, batch_size=min(n4, 65536),
-                            seed=1, show_progress=False)
-    # warm the detector programs (budget probe + tuned shapes)
-    warmw = SpyralWriterProc(base / "c4_warm", config)
-    run_simulation(config, kine4, warmw, engine=engine, seed=1,
-                   show_progress=False, stop_event=eb * 2)
-    # config 3 is detector-geometry mapping; in this engine transport,
-    # drift/diffusion, pad mapping and GET response are ONE fused program,
-    # so configs 3 and 4 share the measurement (there is no cheaper
-    # "no-response" mode to sell as config 3 — record it honestly)
-    timed("config4_full_detector", n4, lambda: run_simulation(
-        config, kine4, SpyralWriterProc(clouds, config), engine=engine,
-        seed=1, show_progress=False))
-    results["config3_detector_geometry"] = dict(
-        results["config4_full_detector"],
-        note="same fused program as config 4 (response inseparable)",
-    )
-    pruner.terminate()
+        seed_spares(clouds, n=2)
+        pruner = spawn_pruner(clouds, keep=2, max_spares=3)
+        try:
+            run_kinematics_pipeline(pipe4, n4, kine4,
+                                    batch_size=min(n4, 65536),
+                                    seed=1, show_progress=False)
+            # warm the detector programs (budget probe + tuned shapes)
+            warmw = SpyralWriterProc(base / "c4_warm", config)
+            run_simulation(config, kine4, warmw, engine=engine, seed=1,
+                           show_progress=False, stop_event=eb * 2)
+            # config 3 is detector-geometry mapping; in this engine
+            # transport, drift/diffusion, pad mapping and GET response are
+            # ONE fused program, so configs 3 and 4 share the measurement
+            # (there is no cheaper "no-response" mode to sell as config 3
+            # — record it honestly)
+            timed("config4_full_detector", n4, lambda: run_simulation(
+                config, kine4, SpyralWriterProc(clouds, config),
+                engine=engine, seed=1, show_progress=False))
+            results["config3_detector_geometry"] = dict(
+                results["config4_full_detector"],
+                note="same fused program as config 4 (response "
+                     "inseparable)",
+            )
+        finally:
+            # the r4 all-in-one ladder leaked this on the config-4 hang
+            pruner.terminate()
 
     print(json.dumps(results))
 
