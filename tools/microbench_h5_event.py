@@ -73,7 +73,10 @@ def main() -> None:
     for rep in range(reps):
         for arm, latest in (("default", False), ("latest", True)):
             lib.sio_h5_set_latest(1 if latest else 0)
-            path = outdir / f"{arm}_{rep}.h5"
+            # one path per ARM, overwritten each rep: keeps /dev/shm usage
+            # at 2 files (~1 GB each at defaults) and mirrors the warm
+            # steady state (rewriting owned pages) after rep 0
+            path = outdir / f"{arm}.h5"
             t0 = time.perf_counter()
             h = lib.sio_h5_open(str(path).encode())
             assert h
