@@ -225,9 +225,10 @@ def _merge_runs(
             # point_budget configs keep the lax path
             pallas_sort = False
 
+    flag_s = pallas_sort if isinstance(pallas_sort, str) else ""
     lane_mode = (
-        "transpose"
-        if isinstance(pallas_sort, str) and "transpose" in pallas_sort
+        "loop" if "loop" in flag_s
+        else "transpose" if "transpose" in flag_s
         else "roll"
     )
     if isinstance(pallas_sort, str) and pallas_sort.startswith("fused"):

@@ -184,10 +184,19 @@ class EngineParams:
         transposed lane-stage variant WON the fused-step A/B (204.1 ms
         vs 213.2 base = 1.045x, tools/ab_round5.py; roll variant lost at
         221.8). ``"fused"``/``"fused_transpose"`` remain opt-in: the
-        whole-merge kernel compiles at W<=16384 (302 s!) but the backend
-        compile helper dies without a diagnostic at the bench merge
-        width (W=57600, ~272 unrolled stages) — parked until the network
-        is restructured (BASELINE.md round-5 section).
+        unrolled whole-merge kernel compiles at W<=16384 (302 s!) but
+        the backend compile helper dies without a diagnostic at the
+        bench merge width (W=57600, ~272 unrolled stages).
+        ``"loop"`` / ``"fused_loop"`` restructure the same networks as
+        ``lax.fori_loop`` stage segments with dynamic-amount
+        ``pltpu.roll`` rotations (~25 traced stage bodies instead of
+        136 per network) — bit-identical output. Measured on silicon
+        (BASELINE.md r5 "fori-loop bitonic"): the restructure LIFTS the
+        width death (fused compiles at W=57600 in 859 s) but runs
+        1.3-1.8x slower than the unrolled networks (pair sort 96.3 vs
+        53.2 ms at 57600; fused whole-merge 162.9 ms vs the ~61 ms lax
+        merge stage it replaces) — kept opt-in purely as the
+        compile-feasibility escape hatch for wider-than-57600 configs.
     lookup_two_stage: bool | str
         Same semantics for the two-stage lookup select (second one-hot
         MXU matmul per 12-point group + narrow VPU select,
@@ -217,7 +226,8 @@ class EngineParams:
     _FLAG_VALUES: ClassVar[dict[str, tuple[str, ...]]] = {
         "pallas_transport": ("auto",),
         "pallas_lookup": ("auto",),
-        "pallas_sort": ("auto", "fused", "transpose", "fused_transpose"),
+        "pallas_sort": ("auto", "fused", "transpose", "fused_transpose",
+                        "loop", "fused_loop"),
         "lookup_two_stage": ("auto",),
     }
 
@@ -389,7 +399,8 @@ class DetectorSimulator:
         # maps to the plain pair-sort kernels (True) when enabled.
         use_pallas_sort = (
             eng.pallas_sort
-            if eng.pallas_sort in ("fused", "transpose", "fused_transpose")
+            if eng.pallas_sort in ("fused", "transpose", "fused_transpose",
+                                   "loop", "fused_loop")
             and pallas_on(eng.pallas_sort)
             else pallas_on(eng.pallas_sort)
         )
@@ -791,10 +802,14 @@ class DetectorSimulator:
         else:
             use_pallas = False
         if use_pallas:
-            lane_mode = (
-                "transpose"
+            flag_s = (
+                self.engine.pallas_sort
                 if isinstance(self.engine.pallas_sort, str)
-                and "transpose" in self.engine.pallas_sort
+                else ""
+            )
+            lane_mode = (
+                "loop" if "loop" in flag_s
+                else "transpose" if "transpose" in flag_s
                 else "roll"
             )
             k_s = sort_i64_pallas(key64.reshape(e, w), lane_mode=lane_mode)

@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["sort_pairs_pallas", "sort_i64_pallas", "merge_runs_fused_pallas"]
 
@@ -116,11 +117,95 @@ def _stage(h, l, d: int, sz: int, trans: bool):  # noqa: E741
     return jnp.where(take, ph, h), jnp.where(take, plo, l)
 
 
+def _seg_dyn(h, l, dlog_hi: int, dlog_lo: int, bitsz, sub_units: bool):  # noqa: E741
+    """Stages dlog = dlog_hi..dlog_lo (descending) of one bitonic phase,
+    run under a ``lax.fori_loop`` with a TRACED stage index — the
+    compile-time end-run around the fully unrolled network (the backend
+    compiler dies without a diagnostic past ~150-270 unrolled stages,
+    BASELINE.md round-5). Requires element-index bit ``dlog`` to live on
+    axis 0: ``sub_units=True`` means the [S, 128] layout where axis 0
+    carries index bits 7+ (roll amount 2^(dlog-7) rows), ``False`` the
+    transposed [128, S] layout where axis 0 carries bits 0-6 (roll
+    amount 2^dlog). ``bitsz`` is the int32 0/1 plane of index bit
+    log2(sz) for this phase (static per segment). Dynamic-amount
+    rotations use ``pltpu.roll`` (compile + bit-exactness probed on
+    silicon first — tools/probe_roll_loop.py)."""
+    n = dlog_hi - dlog_lo + 1
+    if n <= 0:
+        return h, l
+    alen = np.int32(h.shape[0])
+    io0 = jax.lax.broadcasted_iota(jnp.int32, h.shape, 0)
+    base = np.int32(dlog_hi - (7 if sub_units else 0))
+
+    def body(i, hl):
+        hh, ll = hl
+        slog = base - i
+        k = jnp.int32(1) << slog
+        bit_d = (io0 >> slog) & np.int32(1)
+        low = bit_d == np.int32(0)
+        ph = jnp.where(low, pltpu.roll(hh, alen - k, 0),
+                       pltpu.roll(hh, k, 0))
+        plo = jnp.where(low, pltpu.roll(ll, alen - k, 0),
+                        pltpu.roll(ll, k, 0))
+        # identical hazard-safe compare/select as _stage (int32 bit
+        # compare for `same`, pure-i1 logic, no bool VALUE selects)
+        same = bitsz == bit_d
+        eq = hh == ph
+        gt = (hh > ph) | (eq & (ll > plo))
+        lt = (hh < ph) | (eq & (ll < plo))
+        take = (same & gt) | (~same & lt)
+        return jnp.where(take, ph, hh), jnp.where(take, plo, ll)
+
+    # fori bounds MUST be traced-i32 (jnp.int32 minted here, inside the
+    # kernel trace): concrete np/Python bounds make the lowered loop carry
+    # an i64 induction variable under global x64, and Mosaic's
+    # _convert_helper infinitely recurses on the resulting i64->i32
+    # convert (RecursionError at lowering — measured, r5)
+    return jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), body, (h, l))
+
+
+def _bit_of(shape, pos: int, axis: int):
+    """int32 0/1 plane: bit ``pos`` of the axis-``axis`` iota."""
+    io = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
+    return (io >> np.int32(pos)) & np.int32(1)
+
+
+def _bitonic_loop(h, l, total: int):  # noqa: E741
+    """Transposed-layout bitonic network with fori_loop stage segments
+    (lane_mode="loop"): ~25 traced stage bodies instead of 136 at
+    total=65536, trading unrolled-network compile time (and the
+    backend's stage-count death) for per-iteration loop overhead. Same
+    ordering as the unrolled networks — bit-exact drop-in."""
+    tlog = total.bit_length() - 1
+    # phases sz = 2..128: every stage is lane-dim -> one transposed run
+    ht, lt = h.T, l.T
+    for szlog in range(1, 8):
+        # bit log2(sz) of the element index: lane bit (axis 0 of the
+        # transposed plane) below 7, sublane bit (axis 1) at 7
+        bitsz = (_bit_of(ht.shape, szlog, 0) if szlog <= 6
+                 else _bit_of(ht.shape, szlog - 7, 1))
+        ht, lt = _seg_dyn(ht, lt, szlog - 1, 0, bitsz, False)
+    h, l = ht.T, lt.T  # noqa: E741
+    for szlog in range(8, tlog + 1):
+        # sublane-dim stages (d >= 128) on the normal [S, 128] layout
+        h, l = _seg_dyn(  # noqa: E741
+            h, l, szlog - 1, 7, _bit_of(h.shape, szlog - 7, 0), True
+        )
+        # lane-dim tail (d = 64..1) on the transposed layout
+        ht, lt = h.T, l.T
+        ht, lt = _seg_dyn(ht, lt, 6, 0, _bit_of(ht.shape, szlog - 7, 1),
+                          False)
+        h, l = ht.T, lt.T  # noqa: E741
+    return h, l
+
+
 def _bitonic(h, l, total: int, lane_mode: str):  # noqa: E741
     """Full bitonic network over the flattened [S, 128] pair (see
     _sort_kernel for lane_mode semantics). Generic over the l plane's
     dtype — i32 bit-compare of nonneg f32 equals f32 compare, so the
     fused merge kernel carries charges as f32 directly."""
+    if lane_mode == "loop":
+        return _bitonic_loop(h, l, total)
     if lane_mode == "roll":
         sz = 2
         while sz <= total:
@@ -286,11 +371,15 @@ def _sort_kernel(hi_ref, lo_ref, oh_ref, ol_ref, *, total: int,
     "roll" uses lane rotations in place; "transpose" moves the data to
     [128, S] once per lane-stage run so every rotation is a cheap
     sublane roll (hedge: Mosaic lane rotations may lower as expensive
-    relayouts — measure both on silicon, tools/microbench_sort_pallas.py).
+    relayouts — measure both on silicon, tools/microbench_sort_pallas.py);
+    "loop" is the transpose layout with fori_loop stage segments
+    (_bitonic_loop) — same result, ~5x fewer traced stages to compile.
     """
     h = hi_ref[0]
     l = lo_ref[0]  # noqa: E741 — paired with h throughout
-    if lane_mode == "roll":
+    if lane_mode == "loop":
+        h, l = _bitonic_loop(h, l, total)  # noqa: E741
+    elif lane_mode == "roll":
         sz = 2
         while sz <= total:
             d = sz // 2

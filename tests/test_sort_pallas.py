@@ -29,7 +29,7 @@ def _lax_reference(hi, lo):
 
 def _check(hi, lo):
     rh, rl = _lax_reference(jnp.asarray(hi), jnp.asarray(lo))
-    for lane_mode in ("roll", "transpose"):
+    for lane_mode in ("roll", "transpose", "loop"):
         ph, plo = sort_pairs_pallas(
             jnp.asarray(hi), jnp.asarray(lo), lane_mode=lane_mode
         )
@@ -122,6 +122,8 @@ def test_sort_i64_matches_lax():
     )
     got = np.asarray(sort_i64_pallas(jnp.asarray(key)))
     np.testing.assert_array_equal(got, ref)
+    got_loop = np.asarray(sort_i64_pallas(jnp.asarray(key), lane_mode="loop"))
+    np.testing.assert_array_equal(got_loop, ref)
 
 
 def test_merge_runs_fused_matches_lax_path():
@@ -151,6 +153,15 @@ def test_merge_runs_fused_matches_lax_path():
     )
     np.testing.assert_array_equal(np.asarray(k2), np.asarray(k_ref))
     np.testing.assert_array_equal(np.asarray(n2), np.asarray(n_ref))
+    # fori-loop stage variant: identical compare-exchange sequence,
+    # identical outputs (incl. the f32 prefix bit-for-bit)
+    k2l, c2l, n2l = merge_runs_fused_pallas(
+        jnp.asarray(packed), jnp.asarray(qv), cap, rank_bits,
+        lane_mode="loop",
+    )
+    np.testing.assert_array_equal(np.asarray(k2l), np.asarray(k2))
+    np.testing.assert_array_equal(np.asarray(n2l), np.asarray(n2))
+    np.testing.assert_array_equal(np.asarray(c2l), np.asarray(c2))
     valid2 = np.asarray(k2) != KEY_SENTINEL
     np.testing.assert_array_equal(valid2, np.asarray(valid_ref))
     prev = np.concatenate(
