@@ -129,6 +129,7 @@ extern "C" void sio_assemble_batch(
     (void)rows;
     const double z_denom = windows_edge - micromegas_edge;
     std::vector<double> tbf;
+    std::vector<int32_t> tbi;
     std::vector<int32_t> order;
     int64_t lo = 0;
     for (int64_t e = 0; e < nevents; ++e) {
@@ -138,18 +139,61 @@ extern "C" void sio_assemble_batch(
         // descending INTEGER tb; the wiggle breaks the remaining ties
         // exactly like the reference's z argsort over wiggled tbs)
         tbf.resize(n);
+        tbi.resize(n);
         sio_wiggle(wseed, static_cast<uint64_t>(start_event + e), n,
                    tbf.data());
+        bool descending = true;
         for (int64_t i = 0; i < n; ++i) {
-            int32_t tb_int = packed[2 * (lo + i) + 1] >> 22;
+            const int32_t tb_int = packed[2 * (lo + i) + 1] >> 22;
+            tbi[i] = tb_int;
+            if (i && tb_int > tbi[i - 1]) descending = false;
             tbf[i] += static_cast<double>(tb_int);
         }
         // stable argsort by descending wiggled tb == np.argsort(-tbf,
-        // kind="stable")
+        // kind="stable"). When the integer tbs arrive descending (always,
+        // from the device's output sort), the global sort decomposes into
+        // independent stable sorts of each equal-tb run: integer tbs
+        // differ by >= 1 while the wiggle lies in [0, 1), so cross-run
+        // order is already final. Runs are short (an event's rows spread
+        // over <= 512 tbs), collapsing n*log(n) comparator work to
+        // ~n*log(run_len); any precondition violation falls back to the
+        // full sort — bit-identical output either way.
         order.resize(n);
         for (int64_t i = 0; i < n; ++i) order[i] = static_cast<int32_t>(i);
-        std::stable_sort(order.begin(), order.end(),
-                         [&](int32_t a, int32_t b) { return tbf[a] > tbf[b]; });
+        const auto desc = [&](int32_t a, int32_t b) { return tbf[a] > tbf[b]; };
+        if (descending) {
+            int64_t a = 0;
+            while (a < n) {
+                int64_t b = a + 1;
+                while (b < n && tbi[b] == tbi[a]) ++b;
+                const int64_t r = b - a;
+                if (r > 32) {
+                    std::stable_sort(order.begin() + a, order.begin() + b,
+                                     desc);
+                } else if (r > 1) {
+                    // stable insertion sort (descending tbf): equal keys
+                    // never cross a strictly-smaller predecessor, so the
+                    // original order of ties is preserved exactly like
+                    // std::stable_sort — without the temporary-buffer
+                    // allocation std::stable_sort performs on EVERY call
+                    // (~500 run-sized calls per event at run length ~6,
+                    // measured 5% SLOWER than the full event sort)
+                    for (int64_t i = a + 1; i < b; ++i) {
+                        const int32_t v = order[i];
+                        const double key = tbf[v];
+                        int64_t j = i;
+                        while (j > a && tbf[order[j - 1]] < key) {
+                            order[j] = order[j - 1];
+                            --j;
+                        }
+                        order[j] = v;
+                    }
+                }
+                a = b;
+            }
+        } else {
+            std::stable_sort(order.begin(), order.end(), desc);
+        }
         for (int64_t i = 0; i < n; ++i) {
             const int64_t s = lo + order[i];
             int32_t qbits = packed[2 * s];
