@@ -12,14 +12,17 @@ takes Mosaic's proxy path, which re-traces WITHOUT the explicit dtype
 and creates an i64 accumulator). Interpret-mode tests cannot catch any
 of that; this file would have caught those PYTHON-SIDE leaks.
 
-KNOWN LIMIT (round-4 measured): host-side lowering stops at serialized
-MLIR — it does NOT run the backend TPU compiler. After the fixes above
-every kernel lowers clean here, yet the in-VMEM sort and fused-merge
-kernels STILL fail on real TPU inside the remote compile helper
-(HTTP 500, subprocess exit 1): a compile-time resource blowup on the
-136-unrolled-stage network that only the actual Mosaic backend sees
-(BASELINE.md round-4 section). A green run of this file therefore means
-"no Python-side lowering bugs", not "compiles on silicon".
+KNOWN LIMIT (round-4 measured, round-5 resolved but still true of the
+method): host-side lowering stops at serialized MLIR — it does NOT run
+the backend TPU compiler. In round 4 every kernel lowered clean here
+yet the in-VMEM sorts failed on silicon; round 5 root-caused those to
+two backend-only bool-legalization hazards (bool==bool and
+select-of-bools, each an i8->i1 ``arith.trunci`` the backend rejects —
+fixed in ``sort_pallas._stage``) plus a genuine resource death of the
+fully unrolled fused-merge network at W=57600 (lifted by the
+``lane_mode="loop"`` restructure, BASELINE.md r5). A green run of this
+file therefore means "no Python-side lowering bugs", not "compiles on
+silicon".
 
 Reference behavioral basis for the kernels themselves:
 /root/reference/src/attpc_engine/detector/solver.py (transport),
