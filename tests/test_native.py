@@ -159,6 +159,91 @@ def test_spyral_io_assemble_bit_exact():
     np.testing.assert_array_equal(out[1], ref_lab)
 
 
+def test_spyral_io_assemble_sort_branches():
+    """The run-aware z-sort's three branches are all bit-exact vs numpy:
+    equal-tb runs > 32 rows (per-run std::stable_sort), short runs
+    (allocation-free insertion sort), and NON-descending integer tbs
+    (precondition violated -> full-sort fallback)."""
+    import sys
+    from pathlib import Path
+
+    from attpc_engine_tpu.native import native_assemble_batch
+
+    _sio()
+    child_dir = str(
+        Path(__file__).resolve().parents[1] / "attpc_engine_tpu" / "io"
+    )
+    sys.path.insert(0, child_dir)
+    try:
+        from spyral_child import assemble, split_packed, wiggle_for_events
+    finally:
+        sys.path.remove(child_dir)
+
+    rng = np.random.default_rng(23)
+    # event 0: one giant equal-tb run (400 rows, > the insertion cutoff 32)
+    # event 1: a handful of runs straddling the cutoff (lengths 40/32/33/1)
+    # event 2: short descending runs (the production shape)
+    # event 3: tbs NOT descending -> the C side must detect and fall back
+    tbs = [
+        np.full(400, 77, np.int32),
+        np.repeat(np.int32([500, 300, 299, 7]), [40, 32, 33, 1]),
+        np.sort(rng.integers(0, 512, 200).astype(np.int32))[::-1],
+        rng.permutation(np.arange(120, dtype=np.int32)),
+    ]
+    counts = np.array([len(t) for t in tbs], dtype=np.int64)
+    tb = np.concatenate(tbs)
+    rows = int(counts.sum())
+    q = (rng.random(rows, dtype=np.float32) * 50 + 1).astype(np.float32)
+    pad = rng.integers(0, 10240, rows).astype(np.int32)
+    lab = rng.integers(0, 3, rows).astype(np.int32)
+    packed = np.stack(
+        [q.view(np.int32), (tb << 22) | (pad << 8) | lab], axis=1
+    ).astype(np.int32)
+    nev, start, seed = len(counts), 40, 13579
+    NTB = 512
+    tables = {
+        "pad_centers": rng.random((10240, 2)) * 280 - 140,
+        "pad_sizes": rng.random(10240),
+        "resp_asc": np.sort(rng.random(NTB) * 0.3),
+        "windows_edge": np.float64(560.0),
+        "micromegas_edge": np.float64(10.0),
+        "length": np.float64(1.0),
+    }
+    tables["resp_prefix"] = np.concatenate(
+        [[0.0], np.cumsum(tables["resp_asc"])]
+    )
+    tables["resp_max"] = np.float64(tables["resp_asc"].max())
+
+    qq, tbi, pp, ll = split_packed(packed.copy())
+    wig = wiggle_for_events(counts, np.arange(start, start + nev), seed)
+    tbf = tbi + wig
+    off = np.concatenate([[0], np.cumsum(counts)])
+    for i in range(nev):
+        lo, hi = int(off[i]), int(off[i + 1])
+        order = np.argsort(-tbf[lo:hi], kind="stable")
+        qq[lo:hi] = qq[lo:hi][order]
+        tbf[lo:hi] = tbf[lo:hi][order]
+        pp[lo:hi] = pp[lo:hi][order]
+        ll[lo:hi] = ll[lo:hi][order]
+    ref_sp, ref_lab = assemble(qq, tbf, pp, ll, dict(tables))
+
+    nat_tables = {
+        "pad_cx": np.ascontiguousarray(tables["pad_centers"][:, 0]),
+        "pad_cy": np.ascontiguousarray(tables["pad_centers"][:, 1]),
+        "pad_sizes": tables["pad_sizes"],
+        "resp_asc": tables["resp_asc"],
+        "resp_prefix": tables["resp_prefix"],
+        "resp_max": tables["resp_max"],
+        "windows_edge": 560.0,
+        "micromegas_edge": 10.0,
+        "length": 1.0,
+    }
+    out = native_assemble_batch(packed, counts, start, seed, nat_tables)
+    assert out is not None
+    np.testing.assert_array_equal(out[0], ref_sp)
+    np.testing.assert_array_equal(out[1], ref_lab)
+
+
 def test_spyral_io_h5_writer_values(tmp_path):
     """Native libhdf5 writer produces the exact h5py-readable contract."""
     import ctypes
