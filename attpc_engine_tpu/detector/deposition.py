@@ -217,20 +217,16 @@ def _merge_runs(
     f32 = jnp.float32
     i64 = jnp.int64
 
+    lane_mode = "roll"
     if pallas_sort:
-        from .sort_pallas import fits_invmem
+        from .sort_pallas import fits_invmem, lane_mode_from_flag
 
         if not fits_invmem(packed.shape[1]):
             # a padded row would blow the kernel's VMEM budget — huge
             # point_budget configs keep the lax path
             pallas_sort = False
-
-    flag_s = pallas_sort if isinstance(pallas_sort, str) else ""
-    lane_mode = (
-        "loop" if "loop" in flag_s
-        else "transpose" if "transpose" in flag_s
-        else "roll"
-    )
+        else:
+            lane_mode = lane_mode_from_flag(pallas_sort)
     if isinstance(pallas_sort, str) and pallas_sort.startswith("fused"):
         from .sort_pallas import merge_runs_fused_pallas
 

@@ -796,22 +796,17 @@ class DetectorSimulator:
         # slot mask below never reads past the kept prefix anyway)
         key64 = jnp.where(keep, key64, jnp.int64(0x7FFFFFFFFFFFFFFF))
         if self._pallas_enabled(self.engine.pallas_sort):
-            from .sort_pallas import fits_invmem, sort_i64_pallas
+            from .sort_pallas import (
+                fits_invmem,
+                lane_mode_from_flag,
+                sort_i64_pallas,
+            )
 
             use_pallas = fits_invmem(w)
         else:
             use_pallas = False
         if use_pallas:
-            flag_s = (
-                self.engine.pallas_sort
-                if isinstance(self.engine.pallas_sort, str)
-                else ""
-            )
-            lane_mode = (
-                "loop" if "loop" in flag_s
-                else "transpose" if "transpose" in flag_s
-                else "roll"
-            )
+            lane_mode = lane_mode_from_flag(self.engine.pallas_sort)
             k_s = sort_i64_pallas(key64.reshape(e, w), lane_mode=lane_mode)
         else:
             k_s = jax.lax.sort(

@@ -482,3 +482,20 @@ def sort_i64_pallas(
     return (sh.astype(jnp.int64) << 32) | sl.astype(jnp.uint32).astype(
         jnp.int64
     )
+
+
+def lane_mode_from_flag(flag) -> str:
+    """Map an ``EngineParams.pallas_sort`` flag value to the kernels'
+    ``lane_mode``. Single source of truth for BOTH the merge sorts
+    (deposition._merge_runs) and the convert-path sort
+    (DetectorSimulator): a one-sided edit would silently run different
+    kernels for the same flag. Precedence: "loop" is checked before
+    "transpose" (the loop variants ARE the transposed layout plus
+    fori_loop stage segments, and flags like "fused_loop" contain no
+    other ordering hint)."""
+    s = flag if isinstance(flag, str) else ""
+    if "loop" in s:
+        return "loop"
+    if "transpose" in s:
+        return "transpose"
+    return "roll"

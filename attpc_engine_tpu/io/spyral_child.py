@@ -137,8 +137,10 @@ def load_native():
             return None
         # opt-in 1.8-format files (dense attrs + fractal-heap links):
         # the per-event metadata CPU is the measured writer floor on
-        # warm-page epochs; content is h5py-identical, bytes are not
-        if os.environ.get("ATTPC_H5_LATEST"):
+        # warm-page epochs; content is h5py-identical, bytes are not.
+        # "0" disables like the repo's other flags (a truthiness check
+        # would make the control arm of an A/B silently opt IN)
+        if os.environ.get("ATTPC_H5_LATEST", "0") not in ("", "0"):
             try:
                 lib.sio_h5_set_latest.argtypes = [ctypes.c_int]
                 lib.sio_h5_set_latest.restype = None

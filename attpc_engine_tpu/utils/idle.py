@@ -26,7 +26,6 @@ import os
 import re
 import sys
 import time
-from collections import Counter
 
 STATUS_PATH = "/tmp/runbook_status"
 
@@ -41,6 +40,12 @@ TAG_TIMEOUT_S = 4900.0
 # watcher job lines: "plain1 start Tue Aug ..." / "r4 ab rc=0 Tue Aug ..."
 _START_RE = re.compile(r"^(?:r4 )?([a-z0-9_]+) start (.+)$")
 _RC_RE = re.compile(r"^(?:r4 )?([a-z0-9_]+) rc=-?\d+")
+# optional heartbeat for long MANUAL jobs (no chain job emits these):
+# "mytag hb <date>" refreshes the tag's age so a legitimately-long run
+# (e.g. a multi-hour production soak) outlives TAG_TIMEOUT_S without
+# being declared orphaned. Convention for operators:
+#   while :; do echo "mytag hb $(date -u)" >> /tmp/runbook_status; sleep 600; done &
+_HB_RE = re.compile(r"^(?:r4 )?([a-z0-9_]+) hb (.+)$")
 # phase markers that are not start/rc job pairs
 _NON_JOBS = {"runbook", "chain"}
 
@@ -56,35 +61,35 @@ def _parse_date(s: str) -> float | None:
     return None
 
 
-def parse_busy(text: str, now: float | None = None,
-               tag_timeout_s: float = TAG_TIMEOUT_S) -> str | None:
-    """Return the tag of an in-flight watcher job, or None when idle.
-
-    A job is in flight when its tag has more ``start`` lines than ``rc=``
-    lines AND its last ``start`` stamp is younger than ``tag_timeout_s``
-    (every chain job runs under ``timeout`` shorter than that bound, so an
-    older open tag means the watcher died without logging its ``rc=`` —
-    the tag is ORPHANED, not busy). An unparsable stamp keeps the tag busy
-    (conservative); the caller's file-mtime staleness window still bounds
-    that case. The runbook's initial backend verification (a real TPU
-    process that logs no start/rc pair) is tracked through its own phase
-    markers.
-    """
-    if now is None:
-        now = time.time()
-    starts: Counter[str] = Counter()
-    rcs: Counter[str] = Counter()
-    last_start: dict[str, float | None] = {}
+def _tag_events(text: str):
+    """Walk the status file once: per tag, the LAST event kind
+    ("start"/"rc") and the freshest age stamp (last start or heartbeat);
+    plus the backend-verify phase flag. Sequence semantics, not counts:
+    counting ``starts > rcs`` mis-handles a tag that accumulates an
+    rc EXCESS (a waiter's synthetic orphan-close racing the job's own
+    late ``rc=`` line) — the next genuine ``start`` would then be
+    invisibly masked while its job holds the device."""
+    last_event: dict[str, str] = {}
+    last_stamp: dict[str, float | None] = {}
     verifying = False
     for line in text.splitlines():
         line = line.strip()
         m = _START_RE.match(line)
         if m and m.group(1) not in _NON_JOBS:
-            starts[m.group(1)] += 1
-            last_start[m.group(1)] = _parse_date(m.group(2))
+            last_event[m.group(1)] = "start"
+            last_stamp[m.group(1)] = _parse_date(m.group(2))
+            continue
         m = _RC_RE.match(line)
         if m:
-            rcs[m.group(1)] += 1
+            last_event[m.group(1)] = "rc"
+            continue
+        m = _HB_RE.match(line)
+        if m and m.group(1) not in _NON_JOBS:
+            # heartbeat refreshes the age of an OPEN tag only; a stray hb
+            # after the rc must not resurrect a closed tag
+            if last_event.get(m.group(1)) == "start":
+                last_stamp[m.group(1)] = _parse_date(m.group(2))
+            continue
         if line.startswith("port open at"):
             verifying = True
         elif (
@@ -94,9 +99,31 @@ def parse_busy(text: str, now: float | None = None,
             or line.startswith("runbook done")
         ):
             verifying = False
-    for tag, n in starts.items():
-        if n > rcs.get(tag, 0):
-            t0 = last_start.get(tag)
+    return last_event, last_stamp, verifying
+
+
+def parse_busy(text: str, now: float | None = None,
+               tag_timeout_s: float = TAG_TIMEOUT_S) -> str | None:
+    """Return the tag of an in-flight watcher job, or None when idle.
+
+    A job is in flight when its tag's MOST RECENT event is a ``start``
+    line (sequence semantics — restart pairs and synthetic orphan-closes
+    compose correctly) AND its freshest stamp (last ``start``, or a
+    ``hb`` heartbeat for long manual jobs) is younger than
+    ``tag_timeout_s`` (every chain job runs under ``timeout`` shorter
+    than that bound, so an older open tag means the watcher died without
+    logging its ``rc=`` — the tag is ORPHANED, not busy). An unparsable
+    stamp keeps the tag busy (conservative); the caller's file-mtime
+    staleness window still bounds that case. The runbook's initial
+    backend verification (a real TPU process that logs no start/rc pair)
+    is tracked through its own phase markers.
+    """
+    if now is None:
+        now = time.time()
+    last_event, last_stamp, verifying = _tag_events(text)
+    for tag, ev in last_event.items():
+        if ev == "start":
+            t0 = last_stamp.get(tag)
             if t0 is not None and now - t0 > tag_timeout_s:
                 continue  # orphaned: older than any job's own timeout
             return tag
@@ -121,21 +148,12 @@ def close_orphans(status_path: str = STATUS_PATH,
         return []
     now = time.time()
     closed = []
-    # a tag parse_busy skips on age but counts as open start>rc is orphaned
+    # tags parse_busy skips on age (open by sequence, aged out) are the
+    # orphans; closing them keeps the file self-describing
     if parse_busy(text, now=now, tag_timeout_s=tag_timeout_s) is None:
-        starts: Counter[str] = Counter()
-        rcs: Counter[str] = Counter()
-        for line in text.splitlines():
-            m = _START_RE.match(line.strip())
-            if m and m.group(1) not in _NON_JOBS:
-                starts[m.group(1)] += 1
-            m = _RC_RE.match(line.strip())
-            if m:
-                rcs[m.group(1)] += 1
+        last_event, _, _ = _tag_events(text)
         stamp = time.strftime("%a %b %d %H:%M:%S UTC %Y", time.gmtime(now))
-        for tag, n in starts.items():
-            if n > rcs.get(tag, 0):
-                closed.append(tag)
+        closed = [tag for tag, ev in last_event.items() if ev == "start"]
         if closed:
             try:
                 with open(status_path, "a") as f:

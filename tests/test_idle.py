@@ -231,3 +231,44 @@ def test_watcher_ancestor_detection():
             [sh, repo], capture_output=True, text=True, timeout=60
         )
     assert out.stdout.strip() == "1", (out.stdout, out.stderr)
+
+
+def test_parse_busy_rc_excess_does_not_mask_next_start():
+    """A synthetic orphan-close racing the job's own late rc= line leaves
+    an rc EXCESS; the next genuine start of that tag must still read as
+    busy (sequence semantics, not start/rc counting)."""
+    text = (
+        UP
+        + "ab start Wed Aug 19 03:00:00 UTC 2026\n"
+        + "ab rc=-1 orphan-closed Wed Aug 19 04:25:00 UTC 2026\n"
+        + "ab rc=124 Wed Aug 19 04:26:40 UTC 2026\n"  # late real rc
+        + f"ab start {_NOW}\n"  # watchdog re-arms the job
+    )
+    assert parse_busy(text) == "ab"
+    # and once that restart logs its rc the tag is idle again
+    assert parse_busy(text + f"ab rc=0 {_NOW}\n") is None
+
+
+def test_parse_busy_heartbeat_keeps_long_manual_job_alive():
+    """`<tag> hb <date>` refreshes an open tag's age: a legitimately-long
+    manual job (documented CLAUDE.md runbook convention) survives past
+    TAG_TIMEOUT_S as long as it heartbeats."""
+    t0 = _epoch("Wed Aug 19 03:00:00 UTC 2026")
+    text = UP + "soak start Wed Aug 19 03:00:00 UTC 2026\n"
+    # without a heartbeat the tag ages out...
+    assert parse_busy(text, now=t0 + TAG_TIMEOUT_S + 60) is None
+    # ...with one it stays busy from the heartbeat's stamp
+    hb = text + "soak hb Wed Aug 19 04:30:00 UTC 2026\n"
+    t_hb = _epoch("Wed Aug 19 04:30:00 UTC 2026")
+    assert parse_busy(hb, now=t_hb + 600) == "soak"
+    assert parse_busy(hb, now=t_hb + TAG_TIMEOUT_S + 60) is None
+
+
+def test_parse_busy_stray_heartbeat_cannot_resurrect_closed_tag():
+    text = (
+        UP
+        + "job start Wed Aug 19 03:00:00 UTC 2026\n"
+        + "job rc=0 Wed Aug 19 03:10:00 UTC 2026\n"
+        + f"job hb {_NOW}\n"  # straggler heartbeat after the close
+    )
+    assert parse_busy(text) is None

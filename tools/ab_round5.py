@@ -55,8 +55,11 @@ def main():
     )
     key = np.asarray(jax.random.PRNGKey(1))
 
+    # `base` pins pallas_sort=False explicitly: the default flipped to
+    # "transpose" after this tool's original run (commit b2d82ef), so an
+    # empty dict would silently measure transpose-vs-transpose
     combos = [
-        ("base", dict()),
+        ("base", dict(pallas_sort=False)),
         ("+sort", dict(pallas_sort=True)),
         ("+sortT", dict(pallas_sort="transpose")),
         ("+fused", dict(pallas_sort="fused")),

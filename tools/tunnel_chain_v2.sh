@@ -91,7 +91,7 @@ fi
 
 # ---- P4: ladder, cold warmup, profiles, sort microbench --------------- #
 # main tree (the r4 hang was in the r3 tree's monolithic ladder run;
-# run_ladder now also supports per-rung invocation — see LADDER_ONLY)
+# run_ladder now also supports per-rung invocation — see LADDER_CONFIGS)
 run ladder 3600 env LADDER_SCALE=1 python tools/run_ladder.py
 CD=$(mktemp -d)
 run cold 2400 env BENCH_CACHE_DIR="$CD" BENCH_EVENTS=2000 python bench.py
